@@ -1,0 +1,4 @@
+from gwdepth_tpu.losses.criterion import (  # noqa: F401
+    line_set_criterion, silog_loss, seg_ce_loss, multiscale_depth_loss,
+    build_match_cost,
+)
