@@ -1,0 +1,236 @@
+"""Uncertainty-driven point sampling and point-based depth prediction.
+
+Static-shape re-derivation of the reference's point machinery
+(reference: src/models/points/points_sample.py):
+
+- `certain_sample` — replaces the host-side per-interval python loops
+  (points_sample.py:291-364) with a fully-jittable masked construction that
+  reproduces the reference's *behavior* exactly, including its quirks:
+  the per-interval top-k runs over the GLOBAL variance map (only the quota
+  comes from the interval population, points_sample.py:319), indices are
+  sorted ascending after top-k (:320), and the pad-to-fixed-size policy
+  tiles then repeats the tail (:341-355).
+- `PyramidLayer` — mini ResNet + 4-scale avg-pool SPP over the per-point
+  attention planes (points_sample.py:45-125). The reference constructs a
+  `layer4` that its forward never calls (:58 vs :106-123) — not built here.
+- `PointBasedPred` — depth = sum over sampled points of
+  softmax(pyramid(global x refer)) * anchor depth (points_sample.py:235-280),
+  with the reference's `dim**-2` attention scale (:273).
+
+`OffsetGeneration` (ConvexHull point doubling, points_sample.py:133-233) is
+inactive in the shipped config (`pre_point_double` forced False,
+multiscale_transformerr.py:906-909) and is intentionally not built.
+Layout NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gwdepth_tpu.ops.grid_sample import grid_sample_nhwc
+from gwdepth_tpu.ops.interpolate import resize_bilinear
+from gwdepth_tpu.models.swin import TRUNC02, XAVIER
+
+
+# ---------------------------------------------------------------------------
+# certain sample
+# ---------------------------------------------------------------------------
+
+def certain_sample(pred_small: jnp.ndarray, pred_large: jnp.ndarray,
+                   intervals: Sequence[float], sample_num: int,
+                   min_depth_norm: float) -> jnp.ndarray:
+    """Sample `sample_num` high-uncertainty points, stratified by the depth
+    intervals of the finer prediction.
+
+    Args:
+      pred_small: (B, h, w) coarser normalized depth.
+      pred_large: (B, H, W) finer normalized depth.
+      intervals: interior interval bounds, e.g. (0.1, 0.3, 0.5, 0.7, 0.9).
+      sample_num: fixed number of output points S.
+      min_depth_norm: min_depth_eval / max_depth_eval (points_sample.py:286).
+    Returns:
+      (B, S, 1, 2) coords in [-1, 1], grid_sample convention (x, y).
+    """
+    B, H, W = pred_large.shape
+    S = sample_num
+    up = resize_bilinear(pred_small, (H, W), align_corners=True)
+    variance = (up - pred_large) ** 2
+    bounds = jnp.asarray([min_depth_norm] + list(intervals) + [1.0],
+                         jnp.float32)
+    K = bounds.shape[0] - 1
+    total = H * W
+
+    def one(pred, var):
+        p = pred.reshape(-1)
+        v = var.reshape(-1)
+        counts = jnp.stack([
+            jnp.sum((p >= bounds[i]) & (p < bounds[i + 1])) for i in range(K)
+        ]).astype(jnp.float32)
+        quotas = jnp.minimum(jnp.floor(counts / total * S),
+                             counts).astype(jnp.int32)          # (K,)
+        _, topi = jax.lax.top_k(v, S)                            # desc by var
+        r = jnp.arange(S, dtype=jnp.int32)
+
+        # segment content: the quota-largest-variance pixels, index-ascending
+        def seg(q):
+            masked = jnp.where(r < q, topi, jnp.int32(total))
+            return jnp.sort(masked)
+        mat = jax.vmap(seg)(quotas)                              # (K, S)
+
+        csum = jnp.cumsum(quotas)
+        starts = csum - quotas
+        already = csum[-1]
+        pidx = jnp.arange(S, dtype=jnp.int32)
+        seg_id = jnp.searchsorted(csum, pidx, side="right").astype(jnp.int32)
+        seg_id = jnp.clip(seg_id, 0, K - 1)
+        base = mat[seg_id, pidx - starts[seg_id]]                # p < already
+
+        # fixed-size fill: tile whole sequence, then repeat the tail
+        # (points_sample.py:341-350)
+        A = jnp.maximum(already, 1)
+        copy_times = jnp.where(S - A >= A, (S - A) // A + 1, 1)
+        T = A * copy_times
+        remain2 = S - T
+        tp = jnp.where(pidx < T, pidx, (T - remain2) + (pidx - T))
+        filled = base[jnp.clip(tp, 0, S - 1) % A]
+
+        # no interval produced a quota: global top-S, index-ascending
+        fallback = jnp.sort(topi)
+        return jnp.where(already > 0, filled, fallback)
+
+    flat = jax.vmap(one)(pred_large, variance)                   # (B, S)
+    col = (flat % W).astype(jnp.float32)
+    row = (flat // W).astype(jnp.float32)
+    x = (col / W) * 2.0 - 1.0
+    y = (row / H) * 2.0 - 1.0
+    return jnp.stack([x, y], axis=-1)[:, :, None, :]             # (B, S, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# pyramid layer
+# ---------------------------------------------------------------------------
+
+class ConvLn(nn.Module):
+    """3x3 (or kxk) conv without bias + channels-last LayerNorm
+    (reference: points_sample.py:12-25)."""
+    out: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.dilation if self.dilation > 1 else self.kernel // 2
+        x = nn.Conv(self.out, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, kernel_init=XAVIER, name="conv")(x)
+        return nn.LayerNorm(name="ln")(x)
+
+
+class BasicBlock(nn.Module):
+    """ConvLn+GELU -> ConvLn, residual (reference: points_sample.py:27-43)."""
+    planes: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.gelu(ConvLn(self.planes, dilation=self.dilation,
+                             name="conv1")(x), approximate=False)
+        out = ConvLn(self.planes, dilation=self.dilation, name="conv2")(out)
+        return out + x
+
+
+def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+class PyramidLayer(nn.Module):
+    """Mini ResNet + SPP over per-point planes
+    (reference: points_sample.py:45-125). in/out channels = point count."""
+    in_dim: int
+    pool_sizes: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, P) -> (B, H, W, P)."""
+        B, H, W, P = x.shape
+        d2 = self.in_dim * 2
+        x = nn.gelu(ConvLn(self.in_dim, name="first0")(x), approximate=False)
+        x = nn.gelu(ConvLn(d2, name="first1")(x), approximate=False)
+        x = BasicBlock(d2, name="layer1_0")(x)
+        x = BasicBlock(d2, name="layer2_0")(x)
+        x = BasicBlock(d2, name="layer2_1")(x)
+        x = BasicBlock(d2, name="layer3_0")(x)
+        x = BasicBlock(d2, name="layer3_1")(x)
+        # (reference builds a dilated layer4 it never calls — omitted)
+
+        # pad so the largest pool fits (points_sample.py:94-104)
+        k0 = self.pool_sizes[0]
+        Hp = max(H, k0)
+        Wp = max(W, k0)
+        if Hp != H or Wp != W:
+            x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+        branches = [x]
+        for i, k in enumerate(self.pool_sizes):
+            b = _avg_pool(x, k)
+            b = nn.gelu(ConvLn(d2, name=f"branch{i + 1}")(b),
+                        approximate=False)
+            # move channel last->second for resize over trailing HW
+            b = resize_bilinear(b.transpose(0, 3, 1, 2), (Hp, Wp),
+                                align_corners=True).transpose(0, 2, 3, 1)
+            branches.append(b)
+        xx = jnp.concatenate(branches, axis=-1)
+        x = nn.gelu(ConvLn(d2 * 2, name="last0")(xx), approximate=False)
+        x = nn.Conv(self.in_dim, (1, 1), use_bias=False, kernel_init=XAVIER,
+                    name="last1")(x)
+        return x[:, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# point based prediction
+# ---------------------------------------------------------------------------
+
+class PointBasedPred(nn.Module):
+    """Depth from sampled anchor points (reference: points_sample.py:235-280).
+
+    Global features attend to per-point reference features; the (H, W, P)
+    attention volume is refined by `PyramidLayer`, softmaxed over points,
+    and used to mix the anchor depths sampled at those points."""
+    dim: int
+    token_dim: int
+    pool_sizes: Tuple[int, ...]
+    point_num: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, depth_token: jnp.ndarray,
+                 pre_depth: jnp.ndarray, coords: jnp.ndarray,
+                 pos_embedding: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C); depth_token: (B, H, W, tC);
+        pre_depth: (B, H, W) normalized depth; coords: (B, S, 1, 2);
+        pos_embedding: (B, H, W, C). Returns (B, H, W) depth."""
+        B, H, W, C = x.shape
+        x_global = nn.Dense(self.dim, kernel_init=TRUNC02, name="pre_proj")(
+            jnp.concatenate([x, depth_token], axis=-1))
+        x_refer = nn.Dense(2 * self.dim, kernel_init=TRUNC02,
+                           name="refer_proj")(x_global)
+        xg, xr = jnp.split(x_refer, 2, axis=-1)
+
+        refer_x = grid_sample_nhwc(xr, coords)                 # (B, S, 1, C)
+        refer_x = refer_x + grid_sample_nhwc(pos_embedding, coords)
+        refer = refer_x[:, :, 0, :]                            # (B, S, C)
+        anchor = grid_sample_nhwc(pre_depth[..., None], coords)[:, :, 0, 0]
+
+        rg = jnp.einsum("bhwc,bsc->bhws", xg, refer,
+                        preferred_element_type=jnp.float32)
+        rg = (rg * (self.dim ** -2)).astype(x.dtype)           # ref :273
+        rg = PyramidLayer(self.point_num, self.pool_sizes,
+                          name="pyramid")(rg)
+        attn = jax.nn.softmax(rg.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhws,bs->bhw", attn,
+                          anchor.astype(jnp.float32))
