@@ -1,0 +1,61 @@
+"""Headline benchmark: stage-1 GW-Depth inference throughput.
+
+Protocol mirrors the reference eval path (batch 1 images resized so the
+long side is 1024, reference: script/evaluation/eval_stage1_line-glassrgbd.sh,
+src/datasets/coco.py:84-91): full ResNet-50 + DETR line branch + dense
+depth/seg branch forward. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`vs_baseline` compares against the reference PyTorch model running the same
+forward on CPU (the only reference hardware available here — the reference
+repo records no throughput numbers, BASELINE.md). The CPU baseline was
+measured once with torch 2.x eager on this machine's host CPU and is pinned
+below; see bench_baseline.py for the measurement script.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# reference PyTorch forward, CPU, batch 1 @ 768x1024 (see bench_baseline.py)
+CPU_BASELINE_IMAGES_PER_SEC = 0.20
+
+
+def main():
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.models import GlassRGBD
+
+    cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
+    model = GlassRGBD(cfg)
+    images = jnp.zeros((1, *cfg.eval_hw, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+
+    @jax.jit
+    def fwd(images):
+        out = model.apply(params, images)
+        return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"]
+
+    # warmup / compile
+    jax.block_until_ready(fwd(images))
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = n_iters / dt
+
+    print(json.dumps({
+        "metric": "eval_forward_images_per_sec_768x1024",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Epoch-level train / eval loops.
+
+Mirrors the reference engine's control flow
+(reference: src/engine_glassrgbd.py:22-171 train_one_epoch, :174-342
+evaluate) on top of the jitted sharded steps in
+gwdepth_tpu/parallel/train_step.py. Differences by design:
+
+- the whole optimization step (fwd+bwd+clip+AdamW) is ONE device program;
+  the host loop only feeds batches and drains logs;
+- non-finite loss aborts like the reference (engine_glassrgbd.py:150-153)
+  but raises instead of sys.exit so callers can handle it;
+- eval accumulates the 9 depth-metric sums and the seg confusion matrix on
+  device and summarizes once at the end (engine_glassrgbd.py:203,242-264,
+  309-325).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from gwdepth_tpu.config import GWDepthConfig
+from gwdepth_tpu.parallel.train_step import summarize_depth, summarize_seg
+from gwdepth_tpu.utils.logging import MetricLogger
+
+
+def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
+                    loader, epoch: int, rng,
+                    logger: Optional[MetricLogger] = None):
+    """Returns (state, stats dict of epoch global averages)."""
+    logger = logger or MetricLogger(print_freq=10)
+    header = f"Epoch: [{epoch}]"
+    for batch, _names in logger.log_every(loader.epoch(epoch), header,
+                                          total=len(loader)):
+        rng, step_rng = jax.random.split(rng)
+        state, log_vec = train_step(state, batch, step_rng)
+        # ONE device->host transfer for all log scalars (train_step stacks
+        # them; per-scalar pulls cost ~1.5s over the remote-TPU tunnel)
+        scal = dict(zip(train_step.log_keys, np.asarray(log_vec).tolist()))
+        if not math.isfinite(scal["loss"]):
+            raise FloatingPointError(
+                f"Loss is {scal['loss']}, stopping training "
+                "(ref engine:150-153)")
+        logger.update(**scal)
+    logger.synchronize_between_processes()
+    return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
+             collect_lines: bool = False) -> Dict[str, float]:
+    """Returns the reference's eval dict: 9 depth metrics + seg IoUs
+    (+ optionally raw line predictions per image for offline sAP)."""
+    # accumulate ON DEVICE; one host transfer at the end (remote-TPU
+    # tunnels charge ~seconds per transfer)
+    import jax.numpy as jnp
+    acc = None
+    add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
+    line_dumps = []
+    for batch, names in loader.epoch(0):
+        res = eval_step(params, batch)
+        if cfg.with_dense:
+            cur = {"depth_sums": res["depth_sums"],
+                   "confusion": res["confusion"]}
+            acc = cur if acc is None else add(acc, cur)
+        if cfg.with_line and collect_lines:
+            got = jax.device_get({"pred_logits": res["pred_logits"],
+                                  "pred_lines": res["pred_lines"]})
+            for i, name in enumerate(names):
+                line_dumps.append({
+                    "name": name,
+                    "pred_logits": got["pred_logits"][i],
+                    "pred_lines": got["pred_lines"][i],
+                })
+    if acc is not None:
+        acc = jax.device_get(acc)
+        depth_sums = np.asarray(acc["depth_sums"], np.float64)
+        confusion = np.asarray(acc["confusion"], np.float64)
+    else:
+        depth_sums = np.zeros(10, np.float64)
+        confusion = np.zeros((2, 2), np.float64)
+    stats: Dict[str, float] = {}
+    if cfg.with_dense:
+        stats.update(summarize_depth(depth_sums))
+        stats.update(summarize_seg(confusion))
+    if collect_lines:
+        stats["line_dumps"] = line_dumps  # type: ignore[assignment]
+    return stats
+
+
+def format_eval_line(epoch: int, stats: Dict[str, float]) -> str:
+    """eval_results.txt-style line (reference: engine_glassrgbd.py:327-333)."""
+    depth_keys = ["silog", "abs_rel", "log10", "rms", "sq_rel", "log_rms",
+                  "d1", "d2", "d3"]
+    seg_keys = ["iou_glass", "iou_background", "mean_iou",
+                "pixel_accuracy", "mean_accuracy"]
+    d = {k: round(stats[k], 4) for k in depth_keys if k in stats}
+    s = {k: round(stats[k], 2) for k in seg_keys if k in stats}
+    return f"oneline eval epoch{epoch} depth:{d} segmentation:{s}"

@@ -1,0 +1,229 @@
+"""Offline line-detection evaluation: sAP, F-score, NMS, benchmark dumps.
+
+Numpy re-derivation of the reference's offline line-eval suite so sAP /
+F-score run without the reference repo:
+
+- `ap` / `fscore`          (reference: evaluation/lcnn/metric.py:11-30)
+- `ms_tp_fp`               min-endpoint-permutation squared-distance
+                           matching (evaluation/lcnn/metric.py:194-210)
+- `sap_score`/`fscore_score` directory-level drivers matching
+                           evaluation/eval-sAP-glassrgbd.py:34-87 /
+                           eval-fscore-*.py (128x128-normalized coords,
+                           thresholds 5/10/15, duplicate-tail truncation)
+- `postprocess_lines`      score softmax + rescale-to-size
+                           (src/models/glassrgbd.py:452-479)
+- `line_nms`               overlap-aware projection NMS
+                           (evaluation/eval_post_online.py:22-91)
+- `dump_benchmark_npz`     per-image {lines (yxyx, 128-normalized), score}
+                           npz (src/engine.py:117-165)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PR metrics (lcnn/metric.py:11-30)
+# ---------------------------------------------------------------------------
+
+def ap(tp: np.ndarray, fp: np.ndarray) -> float:
+    recall = tp
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    recall = np.concatenate(([0.0], recall, [1.0]))
+    precision = np.concatenate(([0.0], precision, [0.0]))
+    for i in range(precision.size - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    i = np.where(recall[1:] != recall[:-1])[0]
+    return float(np.sum((recall[i + 1] - recall[i]) * precision[i + 1]))
+
+
+def fscore(tp: np.ndarray, fp: np.ndarray) -> float:
+    recall = tp
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    recall = np.concatenate(([0.0], recall, [1.0]))
+    precision = np.concatenate(([0.0], precision, [0.0]))
+    return float((2 * precision * recall /
+                  (1e-9 + precision + recall)).max())
+
+
+def ms_tp_fp(line_pred: np.ndarray, line_gt: np.ndarray,
+             threshold: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy one-to-one matching by min over both endpoint orders of the
+    summed squared endpoint distance (lcnn/metric.py:194-210).
+    line_pred: (P, 2, 2); line_gt: (G, 2, 2)."""
+    if len(line_pred) == 0:
+        return np.zeros(0), np.zeros(0)
+    diff = ((line_pred[:, None, :, None] - line_gt[:, None]) ** 2).sum(-1)
+    diff = np.minimum(diff[:, :, 0, 0] + diff[:, :, 1, 1],
+                      diff[:, :, 0, 1] + diff[:, :, 1, 0])
+    choice = np.argmin(diff, 1)
+    dist = np.min(diff, 1)
+    hit = np.zeros(len(line_gt), bool)
+    tp = np.zeros(len(line_pred))
+    fp = np.zeros(len(line_pred))
+    for i in range(len(line_pred)):
+        if dist[i] < threshold and not hit[choice[i]]:
+            hit[choice[i]] = True
+            tp[i] = 1
+        else:
+            fp[i] = 1
+    return tp, fp
+
+
+def _truncate_duplicate_tail(lines: np.ndarray, scores: np.ndarray):
+    """The reference detectors pad dumps by repeating the first line; the
+    eval truncates at the first repeat (eval-sAP-glassrgbd.py:54-58)."""
+    for i in range(1, len(lines)):
+        if (lines[i] == lines[0]).all():
+            return lines[:i], scores[:i]
+    return lines, scores
+
+
+def _score_curve(preds_gts: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray]],
+                 threshold: float):
+    n_gt = 0
+    tps, fps, scores = [], [], []
+    for pred_lines, pred_scores, gt_lines in preds_gts:
+        pred_lines, pred_scores = _truncate_duplicate_tail(
+            pred_lines, pred_scores)
+        n_gt += len(gt_lines)
+        tp, fp = ms_tp_fp(pred_lines, gt_lines, threshold)
+        tps.append(tp)
+        fps.append(fp)
+        scores.append(pred_scores)
+    tps = np.concatenate(tps)
+    fps = np.concatenate(fps)
+    scores = np.concatenate(scores)
+    idx = np.argsort(-scores)
+    tp = np.cumsum(tps[idx]) / max(n_gt, 1)
+    fp = np.cumsum(fps[idx]) / max(n_gt, 1)
+    return tp, fp
+
+
+def _load_dir_pairs(pred_dir: str, gt_dir: str):
+    preds = sorted(glob.glob(os.path.join(pred_dir, "*.npz")))
+    gts = sorted(glob.glob(os.path.join(gt_dir, "*.npz")))
+    out = []
+    for p, g in zip(preds, gts):
+        with np.load(p) as fp:
+            pl = fp["lines"][:, :, :2]
+            ps = fp["score"]
+        with np.load(g) as fg:
+            gl = fg["lpos"][:, :, :2]
+        out.append((pl, ps, gl))
+    return out
+
+
+def sap_score(pred_dir: str, gt_dir: str,
+              thresholds: Sequence[float] = (5, 10, 15)) -> Dict[float, float]:
+    """sAP at each threshold, x100 (eval-sAP-glassrgbd.py:76-87)."""
+    pairs = _load_dir_pairs(pred_dir, gt_dir)
+    return {t: 100 * ap(*_score_curve(pairs, t)) for t in thresholds}
+
+
+def fscore_score(pred_dir: str, gt_dir: str,
+                 thresholds: Sequence[float] = (5, 10, 15)) -> Dict[float, float]:
+    pairs = _load_dir_pairs(pred_dir, gt_dir)
+    return {t: 100 * fscore(*_score_curve(pairs, t)) for t in thresholds}
+
+
+# ---------------------------------------------------------------------------
+# postprocess + dumps
+# ---------------------------------------------------------------------------
+
+def softmax(x: np.ndarray, axis=-1) -> np.ndarray:
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def postprocess_lines(pred_logits: np.ndarray, pred_lines: np.ndarray,
+                      hw: Tuple[int, int]):
+    """'prediction' mode (glassrgbd.py:464-479): scores = max foreground
+    prob, lines scaled to pixels. pred_lines may carry center coords —
+    only the 4 endpoint coords are used."""
+    prob = softmax(pred_logits, -1)
+    scores = prob[:, :-1].max(-1)
+    h, w = hw
+    lines = pred_lines[:, :4] * np.array([w, h, w, h])
+    return lines, scores
+
+
+def dump_benchmark_npz(out_dir: str, name: str, pred_logits: np.ndarray,
+                       pred_lines: np.ndarray, orig_hw: Tuple[int, int]):
+    """Per-image npz in the offline-eval contract (src/engine.py:117-165):
+    lines (Q, 2, 2) in yxyx order scaled onto a 128x128 grid, scores sorted
+    descending."""
+    lines, scores = postprocess_lines(pred_logits, pred_lines, orig_hw)
+    h, w = orig_hw
+    ln = lines.reshape(-1, 2, 2)[:, :, ::-1].astype(np.float64)  # yx
+    ln[:, :, 0] *= 128.0 / h
+    ln[:, :, 1] *= 128.0 / w
+    idx = np.argsort(-scores)
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, f"{name}.npz"),
+             lines=ln[idx], score=scores[idx])
+
+
+# ---------------------------------------------------------------------------
+# overlap-aware line NMS (eval_post_online.py:22-91)
+# ---------------------------------------------------------------------------
+
+def _pline(x1, y1, x2, y2, x, y) -> float:
+    px, py = x2 - x1, y2 - y1
+    dd = px * px + py * py
+    u = max(min(((x - x1) * px + (y - y1) * py) / max(float(dd), 1e-9), 1), 0)
+    dx = x1 + u * px - x
+    dy = y1 + u * py - y
+    return dx * dx + dy * dy
+
+
+def _plambda(x1, y1, x2, y2, x, y) -> float:
+    px, py = x2 - x1, y2 - y1
+    dd = px * px + py * py
+    return ((x - x1) * px + (y - y1) * py) / max(1e-9, float(dd))
+
+
+def line_nms(lines: np.ndarray, scores: np.ndarray, threshold: float = 0.01,
+             tol: float = 1e9):
+    """Suppress near-collinear overlapping segments; keeps the uncovered
+    sub-segment of each survivor. lines: (N, 2, 2) [(p, q)] sorted by
+    descending score."""
+    nlines: List[np.ndarray] = []
+    nscores, chosen = [], []
+    for idx, ((p, q), score) in enumerate(zip(lines, scores)):
+        start, end = 0.0, 1.0
+        for a, b in nlines:
+            if min(max(_pline(*p, *q, *a), _pline(*p, *q, *b)),
+                   max(_pline(*a, *b, *p), _pline(*a, *b, *q))) \
+                    > threshold ** 2:
+                continue
+            la = _plambda(*p, *q, *a)
+            lb = _plambda(*p, *q, *b)
+            if la > lb:
+                la, lb = lb, la
+            la -= tol
+            lb += tol
+            if start < la and lb < end:
+                continue
+            if lb < start or la > end:
+                continue
+            if la <= start and end <= lb:
+                start = 10
+                break
+            if la <= start <= lb:
+                start = lb
+            if la <= end <= lb:
+                end = la
+            if start >= end:
+                break
+        if start >= end:
+            continue
+        nlines.append(np.array([p + (q - p) * start, p + (q - p) * end]))
+        nscores.append(score)
+        chosen.append(idx)
+    return np.array(nlines), np.array(nscores), np.array(chosen)

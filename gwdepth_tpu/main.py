@@ -1,0 +1,191 @@
+"""Training / evaluation CLI.
+
+Mirrors the reference entry point flag-for-flag where flags are active
+(reference: src/main_glassrgbd.py:25-241, src/args.py:4-173): feature gates
+--with_line/--with_dense/--with_center, optimizer (lr, lr_backbone,
+lr_drop, epochs, clip), dataset paths, --eval/--resume. Recipes translate
+1:1 from script/train/a0_train_stage1_res50_glassrgbd.sh:
+
+  python -m gwdepth_tpu.main --output_dir exp/ckpt_0 \
+      --data_path ... --gt_depth_path ... --gt_seg_path ... \
+      --gt_line_path ... --filenames_file_train ... --filenames_file_eval ... \
+      --with_line --with_dense --with_center --num_queries 100
+
+Distributed: no torch.distributed.launch equivalent is needed — the mesh
+covers all local devices; multi-host runs call jax.distributed.initialize
+(the NCCL init analogue, reference src/util/misc.py:414-436).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from gwdepth_tpu.config import GWDepthConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("GW-Depth TPU training", add_help=True)
+    cfg = GWDepthConfig()
+    # optimizer / schedule (reference: src/args.py:6-21)
+    for name in ("lr", "lr_backbone", "weight_decay"):
+        p.add_argument(f"--{name}", type=float, default=getattr(cfg, name))
+    for name in ("batch_size", "epochs", "lr_drop", "seed", "num_queries",
+                 "enc_layers", "dec_layers", "hidden_dim", "nheads",
+                 "dim_feedforward", "layer1_num", "num_ref", "max_lines"):
+        p.add_argument(f"--{name}", type=int, default=getattr(cfg, name))
+    p.add_argument("--clip_max_norm", type=float, default=cfg.clip_max_norm)
+    p.add_argument("--backbone", type=str, default=cfg.backbone)
+    p.add_argument("--max_depth", type=float, default=cfg.max_depth)
+    # feature gates (reference: src/args.py:126-131)
+    for gate in ("with_line", "with_dense", "with_center",
+                 "with_plane_norm_loss", "aux_loss_off", "eval",
+                 "log_depth_error", "bf16"):
+        p.add_argument(f"--{gate}", action="store_true")
+    # paths (reference: src/args.py:102-108)
+    for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
+                 "filenames_file_train", "filenames_file_eval",
+                 "glassrgbd_images_json", "output_dir", "resume"):
+        p.add_argument(f"--{name}", type=str, default="")
+    p.add_argument("--save_freq", type=int, default=25)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--train_h", type=int, default=cfg.train_hw[0])
+    p.add_argument("--train_w", type=int, default=cfg.train_hw[1])
+    p.add_argument("--eval_h", type=int, default=cfg.eval_hw[0])
+    p.add_argument("--eval_w", type=int, default=cfg.eval_hw[1])
+    p.add_argument("--tiny", action="store_true",
+                   help="toy model dims for smoke runs (keeps every "
+                        "architectural mechanism)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
+    if args.tiny:
+        from gwdepth_tpu.config import tiny_test_config
+        return tiny_test_config(
+            with_line=args.with_line or True, with_dense=True,
+            batch_size=args.batch_size, epochs=args.epochs,
+            data_path=args.data_path, gt_depth_path=args.gt_depth_path,
+            gt_seg_path=args.gt_seg_path, gt_line_path=args.gt_line_path,
+            filenames_file_train=args.filenames_file_train,
+            filenames_file_eval=args.filenames_file_eval,
+            glassrgbd_images_json=args.glassrgbd_images_json,
+            output_dir=args.output_dir,
+            train_hw=(args.train_h, args.train_w),
+            eval_hw=(args.eval_h, args.eval_w))
+    return GWDepthConfig(
+        lr=args.lr, lr_backbone=args.lr_backbone,
+        weight_decay=args.weight_decay, batch_size=args.batch_size,
+        epochs=args.epochs, lr_drop=args.lr_drop, seed=args.seed,
+        clip_max_norm=args.clip_max_norm, backbone=args.backbone,
+        num_queries=args.num_queries, enc_layers=args.enc_layers,
+        dec_layers=args.dec_layers, hidden_dim=args.hidden_dim,
+        nheads=args.nheads, dim_feedforward=args.dim_feedforward,
+        layer1_num=args.layer1_num, num_ref=args.num_ref,
+        max_lines=args.max_lines, max_depth=args.max_depth,
+        with_line=args.with_line, with_dense=args.with_dense,
+        with_center=args.with_center,
+        with_plane_norm_loss=args.with_plane_norm_loss,
+        aux_loss=not args.aux_loss_off,
+        log_depth_error=True,
+        dtype="bfloat16" if args.bf16 else "float32",
+        data_path=args.data_path, gt_depth_path=args.gt_depth_path,
+        gt_seg_path=args.gt_seg_path, gt_line_path=args.gt_line_path,
+        filenames_file_train=args.filenames_file_train,
+        filenames_file_eval=args.filenames_file_eval,
+        glassrgbd_images_json=args.glassrgbd_images_json,
+        output_dir=args.output_dir,
+        train_hw=(args.train_h, args.train_w),
+        eval_hw=(args.eval_h, args.eval_w),
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from gwdepth_tpu.data.dataset import GlassRGBDDataset, Loader
+    from gwdepth_tpu.engine import train_one_epoch, evaluate, format_eval_line
+    from gwdepth_tpu.models import GlassRGBD
+    from gwdepth_tpu.parallel import (
+        make_mesh, make_train_step, make_eval_step, create_train_state)
+    from gwdepth_tpu.utils.checkpoint import CheckpointManager
+    from gwdepth_tpu.utils.logging import MetricLogger
+
+    out_dir = cfg.output_dir or "exp/default"
+    os.makedirs(out_dir, exist_ok=True)
+
+    # seed offset per process (reference: main_glassrgbd.py:36-39)
+    seed = cfg.seed + jax.process_index()
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    model = GlassRGBD(cfg)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+
+    eval_ds = GlassRGBDDataset(cfg, "val")
+    eval_loader = Loader(eval_ds, batch_size=1, shuffle=False,
+                         drop_last=False)
+    eval_step = make_eval_step(cfg, model, mesh)
+
+    import jax.numpy as jnp
+    init_imgs = jnp.zeros((1, *cfg.train_hw, 3), jnp.float32)
+    params = jax.jit(model.init)(rng, init_imgs)["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"model: {n_params / 1e6:.1f}M params, devices: "
+          f"{jax.device_count()}, mesh: {mesh.shape}")
+
+    if args.eval:
+        state = create_train_state(cfg, params)
+        ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        state, _ = ckpt.restore(state)
+        with mesh:
+            stats = evaluate(cfg, state.params, eval_step, eval_loader)
+        print(format_eval_line(0, stats))
+        with open(os.path.join(out_dir, "eval_results.txt"), "a") as f:
+            f.write(format_eval_line(0, stats) + "\n")
+        return stats
+
+    train_ds = GlassRGBDDataset(cfg, "train")
+    train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
+                          seed=seed)
+    from gwdepth_tpu.parallel import place_replicated
+    state = create_train_state(cfg, params,
+                               steps_per_epoch=max(len(train_loader), 1))
+    state = place_replicated(state, mesh)
+    train_step = make_train_step(cfg, model, mesh)
+    ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"),
+                             save_freq_epochs=args.save_freq)
+    state, start_epoch = (ckpt.restore(state) if args.resume
+                          else (state, 0))
+
+    print("Start training")
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        with mesh:
+            state, train_stats = train_one_epoch(
+                cfg, state, train_step, train_loader, epoch, rng)
+        ckpt.save(epoch, state, cfg)
+        log = {"epoch": epoch,
+               **{f"train_{k}": v for k, v in train_stats.items()}}
+        if (epoch + 1) % args.eval_freq == 0:
+            with mesh:
+                stats = evaluate(cfg, state.params, eval_step, eval_loader)
+            log.update({f"test_{k}": v for k, v in stats.items()})
+            with open(os.path.join(out_dir, "eval_results.txt"), "a") as f:
+                f.write(format_eval_line(epoch, stats) + "\n")
+        # JSON lines log (reference: main_glassrgbd.py:231-237)
+        with open(os.path.join(out_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(log) + "\n")
+    ckpt.wait()
+    print(f"Training time {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()

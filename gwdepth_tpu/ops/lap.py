@@ -131,7 +131,13 @@ def match_lines(cost: jnp.ndarray, n_valid: jnp.ndarray,
     perfect matching and therefore leaves the real columns' optimal
     assignment identical to scipy's rectangular solve
     (reference: src/models/matcher.py:74).
+
+    The assignment is a non-differentiable decision; gradients are blocked
+    here exactly like the reference's @torch.no_grad matcher
+    (reference: src/models/matcher.py:28-29) — required for the scipy
+    pure_callback backend and a no-op for the integer outputs otherwise.
     """
+    cost = jax.lax.stop_gradient(cost)
     Q, T = cost.shape
     tcols = jnp.arange(T)
     valid = tcols < n_valid

@@ -1,0 +1,75 @@
+"""Orbax checkpointing: rolling latest + periodic epoch-stamped saves.
+
+TPU-native replacement for the reference's torch.save checkpoint policy
+(reference: src/main_glassrgbd.py:213-226, src/util/misc.py:409-411):
+rank-0-only `checkpoint.pth` holding {model, optimizer, lr_scheduler, epoch,
+args}, plus copies at every `lr_drop`/`save_freq` epoch. Here the payload is
+the functional {params, opt_state, step, epoch, config} pytree via
+orbax.checkpoint; Orbax handles atomic rename + multi-host coordination.
+Resume-time key remapping for legacy torch checkpoints lives in
+gwdepth_tpu/convert/torch_weights.py (mirroring main_glassrgbd.py:129-157).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_freq_epochs: int = 25,
+                 max_keep: int = 3):
+        import orbax.checkpoint as ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_freq = save_freq_epochs
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_keep, create=True,
+                enable_async_checkpointing=True),
+        )
+
+    def save(self, epoch: int, state, config=None, force: bool = False):
+        """Rolling save every call; orbax keeps `max_keep` plus any step we
+        mark to preserve (epoch-stamped copies at save_freq boundaries,
+        main_glassrgbd.py:216-219)."""
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        metadata = {"epoch": epoch}
+        if config is not None:
+            metadata["config"] = dataclasses.asdict(config)
+        import orbax.checkpoint as ocp
+        self._mgr.save(
+            epoch,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                meta=ocp.args.JsonSave(metadata)),
+            force=force)
+
+    def restore(self, state, epoch: Optional[int] = None):
+        """Restore into the structure of `state`; returns (state, epoch)."""
+        import orbax.checkpoint as ocp
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            return state, 0
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                meta=ocp.args.JsonRestore()))
+        new_state = state.replace(params=restored["state"]["params"],
+                                  opt_state=restored["state"]["opt_state"],
+                                  step=restored["state"]["step"])
+        return new_state, int(restored["meta"]["epoch"]) + 1
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

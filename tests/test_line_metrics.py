@@ -1,0 +1,84 @@
+"""Offline line metric tests: perfect predictions give sAP=100, misses
+lower it; NMS suppresses duplicate collinear segments; npz dump round-trips
+through the directory-level scorer."""
+
+import numpy as np
+
+from gwdepth_tpu.evaluation import (
+    ap, fscore, ms_tp_fp, sap_score, line_nms, dump_benchmark_npz,
+    postprocess_lines)
+
+
+def _rand_lines(n, rng):
+    return rng.uniform(0, 128, (n, 2, 2))
+
+
+def test_ms_tp_fp_perfect_match():
+    rng = np.random.default_rng(0)
+    gt = _rand_lines(5, rng)
+    tp, fp = ms_tp_fp(gt.copy(), gt, threshold=5)
+    assert tp.sum() == 5 and fp.sum() == 0
+
+
+def test_ms_tp_fp_endpoint_permutation():
+    rng = np.random.default_rng(1)
+    gt = _rand_lines(3, rng)
+    pred = gt[:, ::-1]  # swapped endpoints still match
+    tp, fp = ms_tp_fp(pred, gt, threshold=5)
+    assert tp.sum() == 3
+
+
+def test_ms_tp_fp_one_to_one():
+    gt = np.array([[[0, 0], [10, 10]]], float)
+    pred = np.stack([gt[0], gt[0] + 0.1])  # two preds, one gt
+    tp, fp = ms_tp_fp(pred, gt, threshold=5)
+    assert tp.sum() == 1 and fp.sum() == 1
+
+
+def test_ap_perfect_and_degraded():
+    tp = np.array([0.5, 1.0])
+    fp = np.array([0.0, 0.0])
+    assert ap(tp, fp) == 1.0
+    assert 0 < ap(np.array([0.5, 0.5]), np.array([0.0, 0.5])) < 1.0
+    assert 0 < fscore(tp, fp) <= 1.0
+
+
+def test_sap_pipeline_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    pred_dir = tmp_path / "pred"
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    for i in range(3):
+        h, w = 240, 320
+        gt_lines_128 = rng.uniform(0, 128, (4, 2, 2))
+        np.savez(gt_dir / f"img{i}.npz", lpos=gt_lines_128)
+        # construct logits/lines whose postprocessed dump reproduces the GT
+        # in 128-space: lines stored [x1 y1 x2 y2] normalized
+        xyxy = gt_lines_128[:, :, ::-1]  # to xy
+        norm = xyxy / np.array([128, 128]) # [0,1] in 128-space == normalized
+        pred_lines = np.zeros((10, 4))
+        pred_lines[:4] = norm.reshape(4, 4)
+        pred_logits = np.full((10, 2), -5.0)
+        pred_logits[:4, 0] = 5.0  # 4 confident lines, 6 background
+        dump_benchmark_npz(str(pred_dir), f"img{i}", pred_logits,
+                           pred_lines, (h, w))
+    scores = sap_score(str(pred_dir), str(gt_dir))
+    assert scores[5] > 99.0
+
+
+def test_postprocess_scales_to_pixels():
+    logits = np.zeros((2, 2))
+    lines = np.array([[0.5, 0.5, 1.0, 1.0, 0.7, 0.7]] * 2)
+    out, scores = postprocess_lines(logits, lines, (200, 100))
+    np.testing.assert_allclose(out[0], [50, 100, 100, 200])
+    assert scores.shape == (2,)
+
+
+def test_line_nms_suppresses_duplicates():
+    base = np.array([[0.0, 0.0], [100.0, 0.0]])
+    lines = np.stack([base, base + [[0, 0.001], [0, 0.001]],
+                      [[0, 50], [100, 50]]])
+    scores = np.array([0.9, 0.8, 0.7])
+    nl, ns, ids = line_nms(lines, scores, threshold=0.01 * 100)
+    assert len(nl) == 2
+    assert set(ids.tolist()) == {0, 2}

@@ -1,0 +1,132 @@
+"""Train/eval step tests on an 8-device virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8).
+
+The full train step (forward+backward through GlassRGBD) is expensive to
+XLA-compile on CPU, so everything that needs it shares ONE jitted sharded
+step via a module fixture."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gwdepth_tpu.config import tiny_test_config
+from gwdepth_tpu.data.batch import dummy_batch
+from gwdepth_tpu.models import GlassRGBD
+from gwdepth_tpu.parallel import (
+    make_mesh, make_train_step, make_eval_step, create_train_state,
+    param_group_label, compute_losses)
+from gwdepth_tpu.parallel.train_step import (
+    depth_error_sums, seg_confusion, summarize_depth, summarize_seg)
+
+
+@pytest.fixture(scope="module")
+def harness():
+    cfg = tiny_test_config()
+    model = GlassRGBD(cfg)
+    batch = dummy_batch(cfg, 8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch.images)["params"]
+    return cfg, model, batch, params
+
+
+def test_param_group_labels():
+    assert param_group_label(("backbone", "conv1", "kernel")) == "frozen"
+    assert param_group_label(("backbone", "layer1", "block0", "conv1",
+                              "kernel")) == "frozen"
+    assert param_group_label(("backbone", "layer2", "block0", "conv1",
+                              "kernel")) == "backbone"
+    assert param_group_label(("backbone", "layer3", "block1", "bn2",
+                              "weight")) == "frozen"
+    assert param_group_label(("transformer", "encoder_layer0", "linear1",
+                              "kernel")) == "main"
+
+
+def test_sharded_train_step_end_to_end(harness):
+    """One compile, many checks: 8-device data-parallel step runs, loss is
+    finite and decreases over a few steps, stem stays frozen, main params
+    move, step counter advances."""
+    cfg, model, batch, params = harness
+    mesh = make_mesh((-1,), ("data",))
+    assert mesh.devices.size == 8
+    # the step donates its input state; keep the fixture's params alive
+    state = create_train_state(cfg, jax.tree.map(jnp.copy, params),
+                               steps_per_epoch=1000)
+    step = make_train_step(cfg, model, mesh)
+
+    before_stem = np.asarray(params["backbone"]["conv1"]["kernel"]).copy()
+    before_main = np.asarray(
+        params["transformer"]["encoder_layer0"]["linear1"]["kernel"]).copy()
+
+    losses = []
+    with mesh:
+        for i in range(3):
+            state, log_vec = step(state, batch, jax.random.PRNGKey(i))
+            logs = dict(zip(step.log_keys, np.asarray(log_vec).tolist()))
+            losses.append(logs["loss"])
+
+    assert int(state.step) == 3
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    np.testing.assert_array_equal(
+        before_stem, np.asarray(state.params["backbone"]["conv1"]["kernel"]))
+    after_main = np.asarray(
+        state.params["transformer"]["encoder_layer0"]["linear1"]["kernel"])
+    assert np.abs(after_main - before_main).max() > 0
+
+
+def test_eval_step_and_loss_weighting(harness):
+    cfg, model, batch, params = harness
+    estep = make_eval_step(cfg, model)
+    res = estep(params, batch)
+    assert res["depth_sums"].shape == (10,)
+    assert res["confusion"].shape == (2, 2)
+    d = summarize_depth(res["depth_sums"])
+    assert set(d) == {"silog", "abs_rel", "log10", "rms", "sq_rel",
+                      "log_rms", "d1", "d2", "d3"}
+    s = summarize_seg(res["confusion"])
+    assert 0 <= s["mean_iou"] <= 100
+
+    # loss weighting: line ce x1, line L1 x5, depth/seg summed
+    out = model.apply({"params": params}, batch.images, batch.valid)
+    total, logs = compute_losses(cfg, out, batch)
+    manual = sum(v for k, v in logs.items() if k.startswith("loss_ce"))
+    manual += sum(v * cfg.line_loss_coef for k, v in logs.items()
+                  if k.startswith("loss_line"))
+    manual += sum(v for k, v in logs.items() if k.startswith("loss_depth"))
+    manual += logs["loss_seg"]
+    np.testing.assert_allclose(float(total), float(manual), rtol=1e-5)
+
+
+def test_depth_error_sums_matches_numpy_reference():
+    """Against the reference metric math (src/util/metrics.py:197-218)."""
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(0.5, 9.0, (2, 8, 8)).astype(np.float32)
+    pred = rng.uniform(0.5, 9.0, (2, 8, 8)).astype(np.float32)
+    valid = np.ones_like(gt, bool)
+    got = np.asarray(depth_error_sums(jnp.asarray(pred), jnp.asarray(gt),
+                                      jnp.asarray(valid), 1e-3, 10.0))
+    acc = np.zeros(9)
+    for b in range(2):
+        g, p = gt[b], np.clip(pred[b], 1e-3, 10.0)
+        thresh = np.maximum(g / p, p / g)
+        acc += np.array([
+            np.sqrt(np.mean((np.log(p) - np.log(g)) ** 2)
+                    - np.mean(np.log(p) - np.log(g)) ** 2) * 100,
+            np.mean(np.abs(g - p) / g),
+            np.mean(np.abs(np.log10(p) - np.log10(g))),
+            np.sqrt(np.mean((g - p) ** 2)),
+            np.mean((g - p) ** 2 / g),
+            np.sqrt(np.mean((np.log(g) - np.log(p)) ** 2)),
+            (thresh < 1.25).mean(), (thresh < 1.25 ** 2).mean(),
+            (thresh < 1.25 ** 3).mean(),
+        ])
+    np.testing.assert_allclose(got[:9], acc, rtol=1e-4)
+    assert got[9] == 2.0
+
+
+def test_seg_confusion():
+    gt = jnp.asarray([[[0, 1], [1, 1]]])
+    pred = jnp.asarray([[[0, 0], [1, 1]]])
+    valid = jnp.ones((1, 2, 2), bool)
+    cm = np.asarray(seg_confusion(pred, gt, valid))
+    np.testing.assert_array_equal(cm, [[1, 0], [1, 2]])
