@@ -21,8 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-# reference PyTorch forward, CPU, batch 1 @ 768x1024 (see bench_baseline.py)
-CPU_BASELINE_IMAGES_PER_SEC = 0.20
+# same eval-path forward on the host CPU, batch 1 @ 768x1024, measured via
+# bench_baseline.py on 2026-08-16 (reference torch stack not installable
+# here; architecture-identical stand-in — see bench_baseline.py docstring)
+CPU_BASELINE_IMAGES_PER_SEC = 0.08
 
 
 def main():
