@@ -155,10 +155,13 @@ def main(argv=None):
     train_ds = GlassRGBDDataset(cfg, "train")
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
                           seed=seed)
-    from gwdepth_tpu.parallel import place_replicated
+    from gwdepth_tpu.parallel import place_params, place_replicated
+    # replicated under a pure-data mesh; TP-sharded when a `model` axis
+    # exists (opt-state moments inherit the param shardings via zeros_like)
+    params = place_params(params, mesh)
     state = create_train_state(cfg, params,
                                steps_per_epoch=max(len(train_loader), 1))
-    state = place_replicated(state, mesh)
+    state = state.replace(step=place_replicated(state.step, mesh))
     train_step = make_train_step(cfg, model, mesh)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"),
                              save_freq_epochs=args.save_freq)

@@ -108,9 +108,11 @@ def make_train_step(cfg: GWDepthConfig, model,
     else:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        # prefix shardings: batch sharded over `data`, params/rng replicated
+        # batch sharded over `data`; state inherits its placement (DP keeps
+        # it replicated via place_replicated; TP pre-shards params over the
+        # `model` axis via partition.place_params)
         fn = jax.jit(step, donate_argnums=(0,),
-                     in_shardings=(repl, data, repl))
+                     in_shardings=(None, data, repl))
     fn.log_keys = log_keys
     return fn
 
