@@ -67,12 +67,14 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
             acc = cur if acc is None else add(acc, cur)
         if cfg.with_line and collect_lines:
             got = jax.device_get({"pred_logits": res["pred_logits"],
-                                  "pred_lines": res["pred_lines"]})
+                                  "pred_lines": res["pred_lines"],
+                                  "extent": res["extent"]})
             for i, name in enumerate(names):
                 line_dumps.append({
                     "name": name,
                     "pred_logits": got["pred_logits"][i],
                     "pred_lines": got["pred_lines"][i],
+                    "extent": got["extent"][i],
                 })
     if acc is not None:
         acc = jax.device_get(acc)

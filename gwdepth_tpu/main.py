@@ -46,7 +46,7 @@ def build_argparser() -> argparse.ArgumentParser:
     # feature gates (reference: src/args.py:126-131)
     for gate in ("with_line", "with_dense", "with_center",
                  "with_plane_norm_loss", "aux_loss_off", "eval",
-                 "log_depth_error", "bf16"):
+                 "log_depth_error", "bf16", "benchmark"):
         p.add_argument(f"--{gate}", action="store_true")
     # paths (reference: src/args.py:102-108)
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
@@ -146,7 +146,23 @@ def main(argv=None):
         ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
         state, _ = ckpt.restore(state)
         with mesh:
-            stats = evaluate(cfg, state.params, eval_step, eval_loader)
+            stats = evaluate(cfg, state.params, eval_step, eval_loader,
+                             collect_lines=args.benchmark)
+        if args.benchmark and cfg.with_line:
+            # per-image npz dumps for offline sAP/F-score
+            # (reference: src/engine.py:117-165)
+            from gwdepth_tpu.evaluation import dump_benchmark_npz
+            bench_dir = os.path.join(out_dir, "benchmark", "benchmark_val")
+            ch, cw = cfg.eval_hw
+            for d in stats.pop("line_dumps", []):
+                ih, iw = [int(v) for v in d["extent"]]
+                # canvas-normalized -> image-normalized coords
+                lines = np.asarray(d["pred_lines"], np.float64).copy()
+                lines[:, 0::2] *= cw / max(iw, 1)
+                lines[:, 1::2] *= ch / max(ih, 1)
+                dump_benchmark_npz(bench_dir, d["name"], d["pred_logits"],
+                                   lines, (ih, iw))
+            print(f"benchmark npz dumps -> {bench_dir}")
         print(format_eval_line(0, stats))
         with open(os.path.join(out_dir, "eval_results.txt"), "a") as f:
             f.write(format_eval_line(0, stats) + "\n")

@@ -190,6 +190,11 @@ def make_eval_step(cfg: GWDepthConfig, model,
         if cfg.with_line:
             res["pred_logits"] = outputs["pred_logits"]
             res["pred_lines"] = outputs["pred_lines"]
+            # actual image extent on the padded canvas (h, w) per image —
+            # needed to convert canvas-normalized coords to image coords
+            res["extent"] = jnp.stack(
+                [batch.valid.any(axis=2).sum(axis=1),
+                 batch.valid.any(axis=1).sum(axis=1)], axis=1)
         return res
 
     if mesh is None:
