@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from gwdepth_tpu.models.swin import TRUNC02, XAVIER, Mlp
-from gwdepth_tpu.ops.interpolate import resize_nearest
+from gwdepth_tpu.ops.interpolate import resize_nearest_nhwc
 
 
 class UpConv(nn.Module):
@@ -25,7 +25,7 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, new_hw):
-        x = resize_nearest(x.transpose(0, 3, 1, 2), new_hw).transpose(0, 2, 3, 1)
+        x = resize_nearest_nhwc(x, new_hw)
         x = nn.Conv(self.out, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, kernel_init=XAVIER, name="conv")(x)
         return nn.elu(x)

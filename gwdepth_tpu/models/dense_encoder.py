@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from gwdepth_tpu.config import GWDepthConfig
 from gwdepth_tpu.models.swin import SwinLayer, Mlp, TRUNC02, XAVIER
 from gwdepth_tpu.models.points import PointBasedPred, certain_sample
-from gwdepth_tpu.ops.interpolate import resize_nearest
+from gwdepth_tpu.ops.interpolate import resize_nearest_nhwc
 from gwdepth_tpu.ops.posemb import sine_posemb_from_mask
 
 
@@ -74,7 +74,7 @@ class DepthHead(nn.Module):
 
 def _up_nhwc(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-resize an NHWC map (torch F.interpolate 'nearest' semantics)."""
-    return resize_nearest(x.transpose(0, 3, 1, 2), hw).transpose(0, 2, 3, 1)
+    return resize_nearest_nhwc(x, hw)
 
 
 def select_reference_points(pred_lines: jnp.ndarray, pred_logits: jnp.ndarray,

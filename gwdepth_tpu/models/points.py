@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from gwdepth_tpu.ops.grid_sample import grid_sample_nhwc
-from gwdepth_tpu.ops.interpolate import resize_bilinear
+from gwdepth_tpu.ops.interpolate import resize_bilinear, resize_bilinear_nhwc
 from gwdepth_tpu.models.swin import TRUNC02, XAVIER
 
 
@@ -181,9 +181,7 @@ class PyramidLayer(nn.Module):
             b = _avg_pool(x, k)
             b = nn.gelu(ConvLn(d2, name=f"branch{i + 1}")(b),
                         approximate=False)
-            # move channel last->second for resize over trailing HW
-            b = resize_bilinear(b.transpose(0, 3, 1, 2), (Hp, Wp),
-                                align_corners=True).transpose(0, 2, 3, 1)
+            b = resize_bilinear_nhwc(b, (Hp, Wp), align_corners=True)
             branches.append(b)
         xx = jnp.concatenate(branches, axis=-1)
         x = nn.gelu(ConvLn(d2 * 2, name="last0")(xx), approximate=False)

@@ -311,12 +311,16 @@ class SwinBlock(nn.Module):
         Wp = -(-W // ws) * ws
         has_tokens = depth_token is not None
 
+        tC = self.token_dim
         shortcut = x
         x = nn.LayerNorm(name="norm1")(x)
         if has_tokens:
             d_shortcut, s_shortcut = depth_token, seg_token
             depth_token = nn.LayerNorm(name="norm_depth1")(depth_token)
             seg_token = nn.LayerNorm(name="norm_seg1")(seg_token)
+            # one pad/roll/partition for all three streams (op-count is the
+            # measured TPU bottleneck, not FLOPs)
+            x = jnp.concatenate([x, depth_token, seg_token], axis=-1)
 
         x = _pad_hw(x, Hp, Wp)
         if shift > 0:
@@ -339,20 +343,10 @@ class SwinBlock(nn.Module):
                                                  mode="nearest")
             x_ref = x_ref.reshape(B, -1, C)          # (B, L*P, C)
 
-        xw = window_partition(x, ws).reshape(
-            B, (Hp // ws) * (Wp // ws), ws * ws, C)
-
+        nW = (Hp // ws) * (Wp // ws)
+        xw = window_partition(x, ws).reshape(B, nW, ws * ws, x.shape[-1])
         if has_tokens:
-            tC = self.token_dim
-
-            def to_windows(t):
-                t = _pad_hw(t, Hp, Wp)
-                if shift > 0:
-                    t = jnp.roll(t, (-shift, -shift), axis=(1, 2))
-                return window_partition(t, ws).reshape(
-                    B, (Hp // ws) * (Wp // ws), ws * ws, tC)
-
-            dw, sw = to_windows(depth_token), to_windows(seg_token)
+            xw, dw, sw = (xw[..., :C], xw[..., C:C + tC], xw[..., C + tC:])
 
         if self.attn_kind == "ref":
             out = RefWindowAttention(self.dim, ws, self.num_heads,
@@ -365,25 +359,29 @@ class SwinBlock(nn.Module):
             out = PlainWindowAttention(self.dim, ws, self.num_heads,
                                        name="attn")(xw, attn_mask)
 
-        def from_windows(t, tC):
-            t = window_reverse(t.reshape(-1, ws * ws, tC), ws, Hp, Wp)
+        if has_tokens:
+            out = jnp.concatenate([out, dw, sw], axis=-1)
+
+        def from_windows(t):
+            c = t.shape[-1]
+            t = window_reverse(t.reshape(-1, ws * ws, c), ws, Hp, Wp)
             if shift > 0:
                 t = jnp.roll(t, (shift, shift), axis=(1, 2))
             return t[:, :H, :W]
 
-        x = from_windows(out, C)
-        x = shortcut + x
+        out = from_windows(out)
+        x = shortcut + out[..., :C]
         x = x + Mlp(int(C * self.mlp_ratio), C, name="mlp")(
             nn.LayerNorm(name="norm2")(x))
 
         if has_tokens:
-            depth_token = d_shortcut + from_windows(dw, self.token_dim)
+            depth_token = d_shortcut + out[..., C:C + tC]
             depth_token = depth_token + Mlp(
-                int(self.token_dim * self.mlp_ratio), self.token_dim,
+                int(tC * self.mlp_ratio), tC,
                 name="mlp_depth")(nn.LayerNorm(name="norm_depth2")(depth_token))
-            seg_token = s_shortcut + from_windows(sw, self.token_dim)
+            seg_token = s_shortcut + out[..., C + tC:]
             seg_token = seg_token + Mlp(
-                int(self.token_dim * self.mlp_ratio), self.token_dim,
+                int(tC * self.mlp_ratio), tC,
                 name="mlp_seg")(nn.LayerNorm(name="norm_seg2")(seg_token))
 
         return x, depth_token, seg_token
