@@ -33,8 +33,12 @@ def main():
 
     cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
     model = GlassRGBD(cfg)
-    images = jnp.zeros((1, *cfg.eval_hw, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+    # distinct inputs per iteration: remote-TPU tunnels can memoize repeat
+    # executions of identical (program, input) pairs
+    inputs = [jax.random.normal(jax.random.PRNGKey(i),
+                                (1, *cfg.eval_hw, 3), jnp.float32)
+              for i in range(8)]
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs[0])
 
     @jax.jit
     def fwd(images):
@@ -42,12 +46,12 @@ def main():
         return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"]
 
     # warmup / compile
-    jax.block_until_ready(fwd(images))
-    n_iters = 20
+    jax.block_until_ready(fwd(inputs[0]))
+    jax.block_until_ready(fwd(inputs[1]))
+    n_iters = 24
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(images)
-    jax.block_until_ready(out)
+    outs = [fwd(inputs[i % len(inputs)]) for i in range(n_iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     ips = n_iters / dt
 

@@ -33,7 +33,7 @@ from gwdepth_tpu.config import GWDepthConfig
 from gwdepth_tpu.models.swin import SwinLayer, Mlp, TRUNC02, XAVIER
 from gwdepth_tpu.models.points import PointBasedPred, certain_sample
 from gwdepth_tpu.ops.interpolate import resize_nearest_nhwc
-from gwdepth_tpu.ops.posemb import sine_posemb_from_mask
+from gwdepth_tpu.ops.posemb import sine_posemb_from_mask_nhwc
 
 
 class ConvA(nn.Module):
@@ -126,8 +126,8 @@ class DenseEncoder(nn.Module):
 
         def posmap(mask, feats):
             # un-normalized sine over the validity mask, channels == feats
-            pe = sine_posemb_from_mask(mask, feats // 2)
-            return pe.transpose(0, 2, 3, 1).astype(top_feat.dtype)
+            return sine_posemb_from_mask_nhwc(
+                mask, feats // 2).astype(top_feat.dtype)
 
         # ---- 1/32 ----
         pos32 = posmap(masks[3], D)

@@ -29,7 +29,7 @@ from gwdepth_tpu.models.resnet import ResNetBackbone, pyramid_masks
 from gwdepth_tpu.models.detr import DETRTransformer, MLP
 from gwdepth_tpu.models.dense_encoder import DenseEncoder
 from gwdepth_tpu.models.decoder import DensePrediction
-from gwdepth_tpu.ops.posemb import sine_posemb_from_mask
+from gwdepth_tpu.ops.posemb import sine_posemb_from_mask_nhwc
 
 
 class GlassRGBD(nn.Module):
@@ -54,9 +54,8 @@ class GlassRGBD(nn.Module):
         out: Dict[str, jnp.ndarray] = {}
         if cfg.with_line:
             # normalized sine pos-embed, DETR-style (backbone.py:97-110)
-            pos = sine_posemb_from_mask(src_mask, cfg.hidden_dim // 2,
-                                        normalize=True)
-            pos = pos.transpose(0, 2, 3, 1).astype(src.dtype)
+            pos = sine_posemb_from_mask_nhwc(src_mask, cfg.hidden_dim // 2,
+                                             normalize=True).astype(src.dtype)
             proj = nn.Conv(cfg.hidden_dim, (1, 1), kernel_init=nn.initializers
                            .variance_scaling(1 / 3, "fan_in", "uniform"),
                            name="input_proj")(src)

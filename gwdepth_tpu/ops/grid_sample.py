@@ -34,12 +34,50 @@ def _gather2d(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
 
 
+def _gather2d_nhwc(x: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, H, W, C); iy/ix: (B, N) int32 clipped in-bounds -> (B, N, C).
+    Gathers on the flattened spatial axis, channels stay in the lane dim —
+    no layout copies."""
+    B, H, W, C = x.shape
+    flat = x.reshape(B, H * W, C)
+    idx = (iy * W + ix).astype(jnp.int32)
+    return jnp.take_along_axis(flat, idx[:, :, None], axis=1)
+
+
 def grid_sample_nhwc(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
                      align_corners: bool = False) -> jnp.ndarray:
-    """NHWC layout wrapper: x (B, H, W, C), grid (B, Hg, Wg, 2) ->
-    (B, Hg, Wg, C). TPU-friendly layout used throughout the framework."""
-    out = grid_sample(x.transpose(0, 3, 1, 2), grid, mode, align_corners)
-    return out.transpose(0, 2, 3, 1)
+    """NHWC-native grid_sample: x (B, H, W, C), grid (B, Hg, Wg, 2) ->
+    (B, Hg, Wg, C). Same sampling semantics as `grid_sample`."""
+    B, H, W, C = x.shape
+    _, Hg, Wg, _ = grid.shape
+    gx = grid[..., 0].reshape(B, Hg * Wg)
+    gy = grid[..., 1].reshape(B, Hg * Wg)
+    fx = _unnormalize(gx.astype(jnp.float32), W, align_corners)
+    fy = _unnormalize(gy.astype(jnp.float32), H, align_corners)
+
+    if mode == "nearest":
+        ix = jnp.round(fx)
+        iy = jnp.round(fy)
+        valid = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        out = _gather2d_nhwc(x, jnp.clip(iy, 0, H - 1).astype(jnp.int32),
+                             jnp.clip(ix, 0, W - 1).astype(jnp.int32))
+        out = out * valid[..., None].astype(x.dtype)
+        return out.reshape(B, Hg, Wg, C)
+
+    if mode != "bilinear":
+        raise ValueError(f"unsupported mode: {mode}")
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    out = jnp.zeros((B, Hg * Wg, C), dtype=x.dtype)
+    for yi, wy in ((y0, 1.0 - (fy - y0)), (y0 + 1.0, fy - y0)):
+        for xi, wx in ((x0, 1.0 - (fx - x0)), (x0 + 1.0, fx - x0)):
+            valid = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+            w = (wx * wy * valid).astype(x.dtype)
+            g = _gather2d_nhwc(x, jnp.clip(yi, 0, H - 1).astype(jnp.int32),
+                               jnp.clip(xi, 0, W - 1).astype(jnp.int32))
+            out = out + g * w[..., None]
+    return out.reshape(B, Hg, Wg, C)
 
 
 def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",

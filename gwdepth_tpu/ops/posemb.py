@@ -32,16 +32,15 @@ def _sine_embed(y_embed: jnp.ndarray, x_embed: jnp.ndarray,
     pos_y = jnp.stack(
         (jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])), axis=4
     ).reshape(*pos_y.shape[:3], -1)
-    pos = jnp.concatenate((pos_y, pos_x), axis=3)  # (B, H, W, 2F)
-    return pos.transpose(0, 3, 1, 2)
+    return jnp.concatenate((pos_y, pos_x), axis=3)  # (B, H, W, 2F)
 
 
-def sine_posemb_from_mask(valid_mask: jnp.ndarray, num_pos_feats: int,
-                          temperature: float = 10000.0,
-                          normalize: bool = False,
-                          scale: float | None = None) -> jnp.ndarray:
+def sine_posemb_from_mask_nhwc(valid_mask: jnp.ndarray, num_pos_feats: int,
+                               temperature: float = 10000.0,
+                               normalize: bool = False,
+                               scale: float | None = None) -> jnp.ndarray:
     """valid_mask: (B, H, W) bool, True = valid pixel.
-    Returns (B, 2*num_pos_feats, H, W)."""
+    Returns (B, H, W, 2*num_pos_feats) — the framework's native layout."""
     if scale is None:
         scale = 2 * math.pi
     not_mask = valid_mask.astype(jnp.float32)
@@ -52,6 +51,16 @@ def sine_posemb_from_mask(valid_mask: jnp.ndarray, num_pos_feats: int,
         y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
         x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
     return _sine_embed(y_embed, x_embed, num_pos_feats, temperature)
+
+
+def sine_posemb_from_mask(valid_mask: jnp.ndarray, num_pos_feats: int,
+                          temperature: float = 10000.0,
+                          normalize: bool = False,
+                          scale: float | None = None) -> jnp.ndarray:
+    """NCHW variant (torch-parity tests): (B, 2*num_pos_feats, H, W)."""
+    return sine_posemb_from_mask_nhwc(
+        valid_mask, num_pos_feats, temperature, normalize,
+        scale).transpose(0, 3, 1, 2)
 
 
 def sine_posemb_grid(batch: int, H: int, W: int, num_pos_feats: int,
