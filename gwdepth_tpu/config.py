@@ -107,6 +107,12 @@ class GWDepthConfig:
     filenames_file_eval: str = ""
     glassrgbd_images_json: str = ""
     output_dir: str = ""
+    # reflection-hint variant inputs (reference: src/datasets/
+    # glassrgbd_data.py:256-304; model-side consumption is commented out in
+    # the reference, multiscale_transformerr.py:1169-1172)
+    glassrgbd_rhint_path: str = ""
+    glassrgbd_rhint_points_path: str = ""
+    max_rhint_points: int = 50
 
     # ------------------------------------------------------------------
     @property

@@ -109,6 +109,20 @@ class GlassRGBDDataset:
         return Sample(image, depth, seg.astype(np.uint8), lines,
                       centers, ids), name
 
+    def load_reflection(self, name: str) -> Optional[np.ndarray]:
+        """Reflection-hint points [row, col] json (reference variant:
+        src/datasets/glassrgbd_data.py:277-279, flipped to [col, row])."""
+        cfg = self.cfg
+        if not cfg.with_reflection or not cfg.glassrgbd_rhint_points_path:
+            return None
+        path = os.path.join(cfg.glassrgbd_rhint_points_path, name + ".json")
+        if not os.path.exists(path):
+            return np.zeros((0, 2), np.float32)
+        with open(path) as f:
+            pts = np.asarray(json.load(f).get("rhint_points", []),
+                             np.float32).reshape(-1, 2)
+        return pts[:, ::-1]  # [row, col] -> [col(x), row(y)]
+
     def __getitem__(self, idx: int, seed: Optional[int] = None
                     ) -> Dict[str, np.ndarray]:
         cfg = self.cfg
@@ -121,7 +135,23 @@ class GlassRGBDDataset:
         else:
             s = eval_transform(s, cfg.eval_hw)
             canvas = cfg.eval_hw
-        return collate_sample(s, canvas, cfg, name)
+        out = collate_sample(s, canvas, cfg, name)
+        rpts = self.load_reflection(name)
+        if rpts is not None:
+            # pad to fixed slots, normalized to the ORIGINAL image extent
+            # (hints are stored in original pixel coords)
+            raw_w, raw_h = Image.open(
+                os.path.join(cfg.data_path, name + ".png")).size
+            P = cfg.max_rhint_points
+            padded = np.zeros((P, 2), np.float32)
+            mask = np.zeros((P,), bool)
+            n = min(len(rpts), P)
+            if n:
+                padded[:n] = rpts[:n] / np.array([raw_w, raw_h], np.float32)
+                mask[:n] = True
+            out["reflection_points"] = padded
+            out["reflection_mask"] = mask
+        return out
 
 
 def collate_sample(s: Sample, canvas_hw: Tuple[int, int],

@@ -51,7 +51,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # paths (reference: src/args.py:102-108)
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
                  "filenames_file_train", "filenames_file_eval",
-                 "glassrgbd_images_json", "output_dir", "resume"):
+                 "glassrgbd_images_json", "output_dir", "resume",
+                 "torch_init"):
         p.add_argument(f"--{name}", type=str, default="")
     p.add_argument("--save_freq", type=int, default=25)
     p.add_argument("--eval_freq", type=int, default=1)
@@ -137,6 +138,22 @@ def main(argv=None):
     import jax.numpy as jnp
     init_imgs = jnp.zeros((1, *cfg.train_hw, 3), jnp.float32)
     params = jax.jit(model.init)(rng, init_imgs)["params"]
+    if args.torch_init:
+        # DETR-R50 / torchvision warm start (reference downloads
+        # detr-r50-e632da11.pth and loads non-strict,
+        # main_glassrgbd.py:107-127)
+        import torch as _torch
+        from gwdepth_tpu.convert.torch_weights import (
+            detr_torch_to_flax, merge_params)
+        sd = _torch.load(args.torch_init, map_location="cpu",
+                         weights_only=False)
+        sd = sd.get("model", sd)
+        sd = {k: v.numpy() for k, v in sd.items()
+              if hasattr(v, "numpy")}
+        overlay = detr_torch_to_flax(sd)
+        params = jax.tree.map(jnp.asarray, merge_params(params, overlay))
+        print(f"warm start from {args.torch_init}: "
+              f"{len(jax.tree.leaves(overlay))} tensors converted")
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params, devices: "
           f"{jax.device_count()}, mesh: {mesh.shape}")

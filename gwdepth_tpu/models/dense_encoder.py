@@ -154,7 +154,8 @@ class DenseEncoder(nn.Module):
 
         x, depth_token, seg_token = SwinLayer(
             D // 2, cfg.class_trans_layers[0], heads, ws, cfg.mlp_ratio,
-            "class", tC, name="class_transformer1")(
+            "class", tC, tuple(cfg.group_attention_layers[0]),
+            name="class_transformer1")(
             x, ref_coords=ref, ref_pos=pos1,
             depth_token=depth_token, seg_token=seg_token)
         d16 = DepthHead(tC, name="depth_pred16")(
@@ -180,7 +181,8 @@ class DenseEncoder(nn.Module):
 
         x, depth_token, seg_token = SwinLayer(
             D // 4, cfg.class_trans_layers[1], heads, ws, cfg.mlp_ratio,
-            "class", tC, name="class_transformer2")(
+            "class", tC, tuple(cfg.group_attention_layers[1]),
+            name="class_transformer2")(
             x, ref_coords=coords, ref_pos=pos2,
             depth_token=depth_token, seg_token=seg_token)
 
@@ -212,7 +214,8 @@ class DenseEncoder(nn.Module):
 
         x, depth_token, seg_token = SwinLayer(
             D // 8, cfg.class_trans_layers[2], heads, ws, cfg.mlp_ratio,
-            "class", tC, name="class_transformer3")(
+            "class", tC, tuple(cfg.group_attention_layers[2]),
+            name="class_transformer3")(
             x, ref_coords=coords, ref_pos=pos3,
             depth_token=depth_token, seg_token=seg_token)
 

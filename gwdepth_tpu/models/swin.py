@@ -123,6 +123,36 @@ class RefAttnDiffusion(nn.Module):
         return jnp.moveaxis(a, 4, 2)
 
 
+class RefQueryMixture(nn.Module):
+    """Replace window queries by an attention-weighted mixture of line
+    reference tokens: learned mu/sigma reparam of the ref queries, conv
+    diffusion of the query->ref attention map, softmax mix
+    (reference: multiscale_transformerr.py:281-311 / :467-511 — the same
+    machinery gated by `group_attention` in the class blocks)."""
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, x_ref: jnp.ndarray) -> jnp.ndarray:
+        """q: (B, nW, H, N, hd) already scaled; x_ref: (B, n_rf, C)."""
+        H = self.num_heads
+        C = x_ref.shape[-1]
+        ref_qk = nn.Dense(2 * C, kernel_init=TRUNC02, name="ref_qk")(x_ref)
+        ref_q, ref_v = jnp.split(ref_qk, 2, axis=-1)  # (B, n_rf, C)
+        mu = self.param("diff_mu", nn.initializers.normal(1.0), (1, 1, C))
+        logsigma = self.param("diff_logsigma", XAVIER, (1, 1, C))
+        ref_q = mu + jnp.exp(logsigma) * ref_q
+        ref_q = _split_heads(ref_q, H)               # (B, H, n_rf, hd)
+        ref_v = _split_heads(ref_v, H)
+
+        ref_attn = jnp.einsum("bwhnd,bhrd->bwhnr", q, ref_q,
+                              preferred_element_type=jnp.float32)
+        ref_attn = RefAttnDiffusion(H, name="ref_attn_diffusion")(
+            ref_attn.astype(x_ref.dtype))
+        ref_attn = jax.nn.softmax(ref_attn.astype(jnp.float32),
+                                  -1).astype(x_ref.dtype)
+        return jnp.einsum("bwhnr,bhrd->bwhnd", ref_attn, ref_v)
+
+
 class RefWindowAttention(nn.Module):
     """Line-referenced W-MSA (reference: multiscale_transformerr.py:202-332).
 
@@ -150,21 +180,7 @@ class RefWindowAttention(nn.Module):
         k = _split_heads(k, H)
         v = _split_heads(v, H)
 
-        ref_qk = nn.Dense(2 * C, kernel_init=TRUNC02, name="ref_qk")(x_ref)
-        ref_q, ref_v = jnp.split(ref_qk, 2, axis=-1)  # (B, n_rf, C)
-        mu = self.param("diff_mu", nn.initializers.normal(1.0), (1, 1, C))
-        logsigma = self.param("diff_logsigma", XAVIER, (1, 1, C))
-        ref_q = mu + jnp.exp(logsigma) * ref_q
-        ref_q = _split_heads(ref_q, H)               # (B, H, n_rf, hd)
-        ref_v = _split_heads(ref_v, H)
-
-        # query -> reference attention, shared ref tokens across windows
-        ref_attn = jnp.einsum("bwhnd,bhrd->bwhnr", q * scale, ref_q,
-                              preferred_element_type=jnp.float32)
-        ref_attn = RefAttnDiffusion(H, name="ref_attn_diffusion")(
-            ref_attn.astype(x.dtype))
-        ref_attn = jax.nn.softmax(ref_attn.astype(jnp.float32), -1).astype(x.dtype)
-        q_new = jnp.einsum("bwhnr,bhrd->bwhnd", ref_attn, ref_v)
+        q_new = RefQueryMixture(H, name="ref")(q * scale, x_ref)
 
         bias = RelPosBias(self.window_size, H, name="rel_pos_bias")()
         out = window_msa(q_new * scale, k, v, bias, mask)
@@ -205,12 +221,15 @@ class WindowClassAttention(nn.Module):
     window_size: int
     num_heads: int
     token_dim: int
+    group_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, depth_token: jnp.ndarray,
-                 seg_token: jnp.ndarray, mask: Optional[jnp.ndarray]
+                 seg_token: jnp.ndarray, mask: Optional[jnp.ndarray],
+                 x_ref: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """x: (B, nW, N, C); tokens: (B, nW, N, tC); mask (nW, N, N)|None."""
+        """x: (B, nW, N, C); tokens: (B, nW, N, tC); mask (nW, N, N)|None;
+        x_ref: (B, n_rf, C) when group_attention."""
         B, nW, N, C = x.shape
         H = self.num_heads
         tC = self.token_dim
@@ -221,6 +240,10 @@ class WindowClassAttention(nn.Module):
         q = _split_heads(q, H) * scale
         k = _split_heads(k, H)
         v = _split_heads(v, H)
+        if self.group_attention and x_ref is not None:
+            # gated ref-query replacement (reference :467-511; the shipped
+            # config keeps group_attention_layers all False, src/args.py:140)
+            q = RefQueryMixture(H, name="ref")(q, x_ref) * scale
         bias = RelPosBias(self.window_size, H, name="rel_pos_bias")()
         out = window_msa(q, k, v, bias, mask)
         x_out = nn.Dense(C, kernel_init=TRUNC02, name="proj")(out)
@@ -296,6 +319,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     attn_kind: str          # "ref" | "class" | "plain"
     token_dim: int = 0
+    group_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -335,9 +359,11 @@ class SwinBlock(nn.Module):
 
         # sample line-reference features on the (padded, shifted) map; pos
         # embeds from the unpadded map — reference behavior (:694-696)
+        need_ref = (self.attn_kind == "ref"
+                    or (self.attn_kind == "class" and self.group_attention))
         x_ref = None
-        if self.attn_kind == "ref" and ref_coords is not None:
-            x_ref = grid_sample_nhwc(x, ref_coords, mode="nearest")
+        if need_ref and ref_coords is not None:
+            x_ref = grid_sample_nhwc(x[..., :C], ref_coords, mode="nearest")
             if ref_pos is not None:
                 x_ref = x_ref + grid_sample_nhwc(ref_pos, ref_coords,
                                                  mode="nearest")
@@ -354,7 +380,8 @@ class SwinBlock(nn.Module):
         elif self.attn_kind == "class":
             out, dw, sw = WindowClassAttention(
                 self.dim, ws, self.num_heads, self.token_dim,
-                name="attn")(xw, dw, sw, attn_mask)
+                self.group_attention, name="attn")(xw, dw, sw, attn_mask,
+                                                   x_ref)
         else:
             out = PlainWindowAttention(self.dim, ws, self.num_heads,
                                        name="attn")(xw, attn_mask)
@@ -397,6 +424,7 @@ class SwinLayer(nn.Module):
     mlp_ratio: float
     attn_kind: str
     token_dim: int = 0
+    group_blocks: Tuple[bool, ...] = ()
     remat: bool = False
 
     @nn.compact
@@ -404,10 +432,12 @@ class SwinLayer(nn.Module):
                  depth_token=None, seg_token=None):
         Block = nn.remat(SwinBlock, static_argnums=()) if self.remat else SwinBlock
         for i in range(self.depth):
+            group = (self.group_blocks[i]
+                     if i < len(self.group_blocks) else False)
             x, depth_token, seg_token = Block(
                 self.dim, self.num_heads, self.window_size,
                 0 if i % 2 == 0 else self.window_size // 2,
-                self.mlp_ratio, self.attn_kind, self.token_dim,
+                self.mlp_ratio, self.attn_kind, self.token_dim, group,
                 name=f"block{i}")(x, ref_coords, ref_pos,
                                   depth_token, seg_token)
         return x, depth_token, seg_token

@@ -146,3 +146,19 @@ def test_glassrgbd_forward_shapes():
     assert float(dfull.max()) <= cfg.max_depth
     for t in [out["pred_logits"], dfull, out["pred_seg"]]:
         assert np.isfinite(np.asarray(t)).all()
+
+
+def test_glassrgbd_group_attention_path():
+    """group_attention_layers on -> ref-query mixture inside class blocks
+    (reference flag, src/args.py:140 — default off)."""
+    cfg = tiny_test_config(
+        group_attention_layers=((True,), (True,), (True,)),
+        class_trans_layers=(1, 1, 1))
+    model = GlassRGBD(cfg)
+    imgs = jnp.zeros((1, *cfg.train_hw, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(params, imgs)
+    assert np.isfinite(np.asarray(out["pred_depth"][-1])).all()
+    # the ref-mixture params must exist in the class transformers
+    p = params["params"]["dense_encoder"]["class_transformer1"]["block0"]
+    assert "ref" in p["attn"], list(p["attn"].keys())

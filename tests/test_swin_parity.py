@@ -37,12 +37,12 @@ def torch_ref_window_attention(x, x_ref, params, nH, ws, mask=None):
 
     q, k, v = heads(q), heads(k), heads(v)
 
-    ref_qk = x_ref @ t(params["ref_qk"]["kernel"]) + t(params["ref_qk"]["bias"])
+    ref_qk = x_ref @ t(params["ref"]["ref_qk"]["kernel"]) + t(params["ref"]["ref_qk"]["bias"])
     ref_q, ref_v = ref_qk.chunk(2, dim=-1)
     rB, n_rf, _ = ref_q.shape
     n_win = B_ // rB
-    mu = t(params["diff_mu"])
-    sigma = t(params["diff_logsigma"]).exp()
+    mu = t(params["ref"]["diff_mu"])
+    sigma = t(params["ref"]["diff_logsigma"]).exp()
     ref_q = mu + sigma * ref_q
     ref_q = heads(ref_q)
     ref_k = torch.cat([ref_q[i:i + 1].expand(n_win, -1, -1, -1)
@@ -55,8 +55,8 @@ def torch_ref_window_attention(x, x_ref, params, nH, ws, mask=None):
     ref_attn = q @ ref_k.transpose(-2, -1)
     r = ref_attn.reshape(rB, n_win, nH, N, n_rf).permute(0, 2, 1, 3, 4) \
         .reshape(rB, nH, n_win * N, n_rf)
-    w = t(params["ref_attn_diffusion"]["conv"]["kernel"]).permute(3, 2, 0, 1)
-    b = t(params["ref_attn_diffusion"]["conv"]["bias"])
+    w = t(params["ref"]["ref_attn_diffusion"]["conv"]["kernel"]).permute(3, 2, 0, 1)
+    b = t(params["ref"]["ref_attn_diffusion"]["conv"]["bias"])
     for _ in range(3):
         upd = TF.conv2d(r, w, b, padding=1)
         upd = TF.gelu(TF.layer_norm(upd, [n_win * N, n_rf]))
