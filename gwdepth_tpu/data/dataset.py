@@ -216,7 +216,12 @@ class Loader:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
-        nb = len(self)
+        # multi-host: each process reads its own shard — the
+        # DistributedSampler equivalent (reference: main_glassrgbd.py:86-88)
+        import jax
+        if jax.process_count() > 1:
+            order = order[jax.process_index()::jax.process_count()]
+        nb = len(order) // self.bs if self.drop_last else -(-len(order) // self.bs)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         def worker():

@@ -227,3 +227,68 @@ def line_nms(lines: np.ndarray, scores: np.ndarray, threshold: float = 0.01,
         nscores.append(score)
         chosen.append(idx)
     return np.array(nlines), np.array(nscores), np.array(chosen)
+
+
+# ---------------------------------------------------------------------------
+# heatmap-based AP (APH) — MATLAB-free equivalent of evaluation/eval-aph-*
+# ---------------------------------------------------------------------------
+
+def rasterize_lines(lines: np.ndarray, size: int = 128) -> np.ndarray:
+    """(N, 2, 2) [y, x] endpoint pairs on a `size`x`size` grid -> bool map.
+    Dense sub-pixel stepping along each segment."""
+    img = np.zeros((size, size), bool)
+    for (y1, x1), (y2, x2) in lines:
+        n = int(max(abs(y2 - y1), abs(x2 - x1)) * 2) + 2
+        t = np.linspace(0.0, 1.0, n)
+        ys = np.clip(np.round(y1 + t * (y2 - y1)).astype(int), 0, size - 1)
+        xs = np.clip(np.round(x1 + t * (x2 - x1)).astype(int), 0, size - 1)
+        img[ys, xs] = True
+    return img
+
+
+def _dilate(mask: np.ndarray, r: int) -> np.ndarray:
+    out = mask.copy()
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            out |= np.roll(np.roll(mask, dy, 0), dx, 1)
+    return out
+
+
+def aph_score(pred_dir: str, gt_dir: str, tolerance: int = 1,
+              n_thresholds: int = 20) -> float:
+    """Heatmap-based AP over a dump directory, x100.
+
+    The reference shells out to MATLAB for this metric
+    (evaluation/eval-aph-score-glassrgbd.py:70-77); this is a
+    MATLAB-free numpy equivalent: lines are rasterized on the 128-grid,
+    pixel precision/recall is swept over score thresholds (pred pixels
+    within `tolerance` of a GT pixel count as true), and AP is the area
+    under the interpolated PR curve. Values are comparable across models
+    evaluated with this implementation; absolute numbers may differ from
+    the MATLAB one in tolerance details."""
+    pairs = _load_dir_pairs(pred_dir, gt_dir)
+    all_scores = np.concatenate([p[1] for p in pairs]) if pairs else np.array([0.])
+    thresholds = np.quantile(all_scores, np.linspace(0, 1, n_thresholds))
+    precisions, recalls = [], []
+    gt_maps = [rasterize_lines(g) for _, _, g in pairs]
+    gt_dil = [_dilate(g, tolerance) for g in gt_maps]
+    for t in thresholds:
+        tp = fp = fn = 0
+        for (pl, ps, _), gmap, gdil in zip(pairs, gt_maps, gt_dil):
+            pl, ps = _truncate_duplicate_tail(pl, ps)
+            pmap = rasterize_lines(pl[ps >= t])
+            pdil = _dilate(pmap, tolerance)
+            tp += int((pmap & gdil).sum())
+            fp += int((pmap & ~gdil).sum())
+            fn += int((gmap & ~pdil).sum())
+        precisions.append(tp / max(tp + fp, 1))
+        recalls.append(tp / max(tp + fn, 1))
+    order = np.argsort(recalls)
+    r = np.concatenate([[0.0], np.asarray(recalls)[order], [1.0]])
+    p = np.concatenate([[0.0], np.asarray(precisions)[order], [0.0]])
+    for i in range(p.size - 1, 0, -1):
+        p[i - 1] = max(p[i - 1], p[i])
+    i = np.where(r[1:] != r[:-1])[0]
+    return float(100 * np.sum((r[i + 1] - r[i]) * p[i + 1]))

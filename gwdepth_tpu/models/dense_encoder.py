@@ -132,7 +132,7 @@ class DenseEncoder(nn.Module):
         # ---- 1/32 ----
         pos32 = posmap(masks[3], D)
         x, _, _ = SwinLayer(D, cfg.dense_trans_layers[0], heads, ws,
-                            cfg.mlp_ratio, attn_kind32,
+                            cfg.mlp_ratio, attn_kind32, remat=cfg.remat,
                             name="dense_transformer")(
             top_feat, ref_coords=ref, ref_pos=pos32)
         d32 = DepthHead(tC, name="depth_pred32")(x)[..., 0]       # (B,H32,W32)
@@ -154,7 +154,7 @@ class DenseEncoder(nn.Module):
 
         x, depth_token, seg_token = SwinLayer(
             D // 2, cfg.class_trans_layers[0], heads, ws, cfg.mlp_ratio,
-            "class", tC, tuple(cfg.group_attention_layers[0]),
+            "class", tC, tuple(cfg.group_attention_layers[0]), remat=cfg.remat,
             name="class_transformer1")(
             x, ref_coords=ref, ref_pos=pos1,
             depth_token=depth_token, seg_token=seg_token)
@@ -181,7 +181,7 @@ class DenseEncoder(nn.Module):
 
         x, depth_token, seg_token = SwinLayer(
             D // 4, cfg.class_trans_layers[1], heads, ws, cfg.mlp_ratio,
-            "class", tC, tuple(cfg.group_attention_layers[1]),
+            "class", tC, tuple(cfg.group_attention_layers[1]), remat=cfg.remat,
             name="class_transformer2")(
             x, ref_coords=coords, ref_pos=pos2,
             depth_token=depth_token, seg_token=seg_token)
@@ -214,7 +214,7 @@ class DenseEncoder(nn.Module):
 
         x, depth_token, seg_token = SwinLayer(
             D // 8, cfg.class_trans_layers[2], heads, ws, cfg.mlp_ratio,
-            "class", tC, tuple(cfg.group_attention_layers[2]),
+            "class", tC, tuple(cfg.group_attention_layers[2]), remat=cfg.remat,
             name="class_transformer3")(
             x, ref_coords=coords, ref_pos=pos3,
             depth_token=depth_token, seg_token=seg_token)

@@ -82,3 +82,24 @@ def test_line_nms_suppresses_duplicates():
     nl, ns, ids = line_nms(lines, scores, threshold=0.01 * 100)
     assert len(nl) == 2
     assert set(ids.tolist()) == {0, 2}
+
+
+def test_aph_perfect_predictions(tmp_path):
+    from gwdepth_tpu.evaluation.line_metrics import aph_score
+    rng = np.random.default_rng(5)
+    pred_dir = tmp_path / "p"; gt_dir = tmp_path / "g"
+    pred_dir.mkdir(); gt_dir.mkdir()
+    for i in range(2):
+        gt = rng.uniform(10, 118, (5, 2, 2))
+        np.savez(gt_dir / f"i{i}.npz", lpos=gt)
+        np.savez(pred_dir / f"i{i}.npz", lines=gt.copy(),
+                 score=np.linspace(1.0, 0.6, 5))
+    s = aph_score(str(pred_dir), str(gt_dir))
+    assert s > 95.0
+    # degraded: random preds score much lower
+    for i in range(2):
+        np.savez(pred_dir / f"i{i}.npz",
+                 lines=rng.uniform(0, 128, (5, 2, 2)),
+                 score=np.linspace(1.0, 0.6, 5))
+    s2 = aph_score(str(pred_dir), str(gt_dir))
+    assert s2 < s
