@@ -133,6 +133,7 @@ class DenseEncoder(nn.Module):
         pos32 = posmap(masks[3], D)
         x, _, _ = SwinLayer(D, cfg.dense_trans_layers[0], heads, ws,
                             cfg.mlp_ratio, attn_kind32, remat=cfg.remat,
+                            use_pallas=cfg.use_pallas,
                             name="dense_transformer")(
             top_feat, ref_coords=ref, ref_pos=pos32)
         d32 = DepthHead(tC, name="depth_pred32")(x)[..., 0]       # (B,H32,W32)
@@ -155,6 +156,7 @@ class DenseEncoder(nn.Module):
         x, depth_token, seg_token = SwinLayer(
             D // 2, cfg.class_trans_layers[0], heads, ws, cfg.mlp_ratio,
             "class", tC, tuple(cfg.group_attention_layers[0]), remat=cfg.remat,
+            use_pallas=cfg.use_pallas,
             name="class_transformer1")(
             x, ref_coords=ref, ref_pos=pos1,
             depth_token=depth_token, seg_token=seg_token)
@@ -182,6 +184,7 @@ class DenseEncoder(nn.Module):
         x, depth_token, seg_token = SwinLayer(
             D // 4, cfg.class_trans_layers[1], heads, ws, cfg.mlp_ratio,
             "class", tC, tuple(cfg.group_attention_layers[1]), remat=cfg.remat,
+            use_pallas=cfg.use_pallas,
             name="class_transformer2")(
             x, ref_coords=coords, ref_pos=pos2,
             depth_token=depth_token, seg_token=seg_token)
@@ -215,6 +218,7 @@ class DenseEncoder(nn.Module):
         x, depth_token, seg_token = SwinLayer(
             D // 8, cfg.class_trans_layers[2], heads, ws, cfg.mlp_ratio,
             "class", tC, tuple(cfg.group_attention_layers[2]), remat=cfg.remat,
+            use_pallas=cfg.use_pallas,
             name="class_transformer3")(
             x, ref_coords=coords, ref_pos=pos3,
             depth_token=depth_token, seg_token=seg_token)

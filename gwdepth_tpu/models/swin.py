@@ -100,8 +100,13 @@ class RefAttnDiffusion(nn.Module):
     """3-iteration conv diffusion over the query→reference attention map
     (reference: multiscale_transformerr.py:262,297-305): treat the
     (nW*N, n_rf) attention plane as an image with `heads` channels, run a
-    3x3 conv + param-free layernorm over the full plane + GELU, residual."""
+    3x3 conv + param-free layernorm over the full plane + GELU, residual.
+
+    `use_pallas=True` runs all three iterations as ONE fused Pallas kernel
+    with the plane resident in VMEM (forward only — training keeps the XLA
+    path, which is differentiable)."""
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, ref_attn: jnp.ndarray) -> jnp.ndarray:
@@ -109,16 +114,23 @@ class RefAttnDiffusion(nn.Module):
         B, nW, H, N, R = ref_attn.shape
         # (B, nW*N, R, heads) image, NHWC
         a = jnp.moveaxis(ref_attn, 2, 4).reshape(B, nW * N, R, H)
-        conv = nn.Conv(self.num_heads, (3, 3), padding=((1, 1), (1, 1)),
-                       kernel_init=XAVIER, name="conv")
-        for _ in range(3):
-            upd = conv(a)
-            # F.layer_norm over [nW*N, n_rf] (no params): normalize each
-            # (plane) per batch & head jointly over both spatial axes.
-            mean = upd.mean(axis=(1, 2), keepdims=True)
-            var = upd.var(axis=(1, 2), keepdims=True)
-            upd = (upd - mean) * jax.lax.rsqrt(var + 1e-5)
-            a = a + nn.gelu(upd, approximate=False)
+        kernel = self.param("conv_kernel", XAVIER, (3, 3, H, H))
+        bias = self.param("conv_bias", nn.initializers.zeros, (H,))
+
+        if self.use_pallas:
+            from gwdepth_tpu.ops.pallas_kernels import ref_attn_diffusion_pallas
+            a = ref_attn_diffusion_pallas(a, kernel, bias)
+        else:
+            for _ in range(3):
+                upd = jax.lax.conv_general_dilated(
+                    a, kernel.astype(a.dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+                # F.layer_norm over [nW*N, n_rf] (no params): normalize each
+                # plane per batch & head jointly over both spatial axes.
+                mean = upd.mean(axis=(1, 2), keepdims=True)
+                var = upd.var(axis=(1, 2), keepdims=True)
+                upd = (upd - mean) * jax.lax.rsqrt(var + 1e-5)
+                a = a + nn.gelu(upd, approximate=False)
         a = a.reshape(B, nW, N, R, H)
         return jnp.moveaxis(a, 4, 2)
 
@@ -130,6 +142,7 @@ class RefQueryMixture(nn.Module):
     (reference: multiscale_transformerr.py:281-311 / :467-511 — the same
     machinery gated by `group_attention` in the class blocks)."""
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q: jnp.ndarray, x_ref: jnp.ndarray) -> jnp.ndarray:
@@ -146,7 +159,8 @@ class RefQueryMixture(nn.Module):
 
         ref_attn = jnp.einsum("bwhnd,bhrd->bwhnr", q, ref_q,
                               preferred_element_type=jnp.float32)
-        ref_attn = RefAttnDiffusion(H, name="ref_attn_diffusion")(
+        ref_attn = RefAttnDiffusion(H, self.use_pallas,
+                                    name="ref_attn_diffusion")(
             ref_attn.astype(x_ref.dtype))
         ref_attn = jax.nn.softmax(ref_attn.astype(jnp.float32),
                                   -1).astype(x_ref.dtype)
@@ -163,6 +177,7 @@ class RefWindowAttention(nn.Module):
     dim: int
     window_size: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_ref: jnp.ndarray,
@@ -180,7 +195,8 @@ class RefWindowAttention(nn.Module):
         k = _split_heads(k, H)
         v = _split_heads(v, H)
 
-        q_new = RefQueryMixture(H, name="ref")(q * scale, x_ref)
+        q_new = RefQueryMixture(H, self.use_pallas,
+                                name="ref")(q * scale, x_ref)
 
         bias = RelPosBias(self.window_size, H, name="rel_pos_bias")()
         out = window_msa(q_new * scale, k, v, bias, mask)
@@ -222,6 +238,7 @@ class WindowClassAttention(nn.Module):
     num_heads: int
     token_dim: int
     group_attention: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, depth_token: jnp.ndarray,
@@ -243,7 +260,8 @@ class WindowClassAttention(nn.Module):
         if self.group_attention and x_ref is not None:
             # gated ref-query replacement (reference :467-511; the shipped
             # config keeps group_attention_layers all False, src/args.py:140)
-            q = RefQueryMixture(H, name="ref")(q, x_ref) * scale
+            q = RefQueryMixture(H, self.use_pallas,
+                                name="ref")(q, x_ref) * scale
         bias = RelPosBias(self.window_size, H, name="rel_pos_bias")()
         out = window_msa(q, k, v, bias, mask)
         x_out = nn.Dense(C, kernel_init=TRUNC02, name="proj")(out)
@@ -320,6 +338,7 @@ class SwinBlock(nn.Module):
     attn_kind: str          # "ref" | "class" | "plain"
     token_dim: int = 0
     group_attention: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -376,12 +395,13 @@ class SwinBlock(nn.Module):
 
         if self.attn_kind == "ref":
             out = RefWindowAttention(self.dim, ws, self.num_heads,
+                                     self.use_pallas,
                                      name="attn")(xw, x_ref, attn_mask)
         elif self.attn_kind == "class":
             out, dw, sw = WindowClassAttention(
                 self.dim, ws, self.num_heads, self.token_dim,
-                self.group_attention, name="attn")(xw, dw, sw, attn_mask,
-                                                   x_ref)
+                self.group_attention, self.use_pallas,
+                name="attn")(xw, dw, sw, attn_mask, x_ref)
         else:
             out = PlainWindowAttention(self.dim, ws, self.num_heads,
                                        name="attn")(xw, attn_mask)
@@ -426,6 +446,7 @@ class SwinLayer(nn.Module):
     token_dim: int = 0
     group_blocks: Tuple[bool, ...] = ()
     remat: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, ref_coords=None, ref_pos=None,
@@ -438,6 +459,7 @@ class SwinLayer(nn.Module):
                 self.dim, self.num_heads, self.window_size,
                 0 if i % 2 == 0 else self.window_size // 2,
                 self.mlp_ratio, self.attn_kind, self.token_dim, group,
+                self.use_pallas,
                 name=f"block{i}")(x, ref_coords, ref_pos,
                                   depth_token, seg_token)
         return x, depth_token, seg_token

@@ -55,8 +55,8 @@ def torch_ref_window_attention(x, x_ref, params, nH, ws, mask=None):
     ref_attn = q @ ref_k.transpose(-2, -1)
     r = ref_attn.reshape(rB, n_win, nH, N, n_rf).permute(0, 2, 1, 3, 4) \
         .reshape(rB, nH, n_win * N, n_rf)
-    w = t(params["ref"]["ref_attn_diffusion"]["conv"]["kernel"]).permute(3, 2, 0, 1)
-    b = t(params["ref"]["ref_attn_diffusion"]["conv"]["bias"])
+    w = t(params["ref"]["ref_attn_diffusion"]["conv_kernel"]).permute(3, 2, 0, 1)
+    b = t(params["ref"]["ref_attn_diffusion"]["conv_bias"])
     for _ in range(3):
         upd = TF.conv2d(r, w, b, padding=1)
         upd = TF.gelu(TF.layer_norm(upd, [n_win * N, n_rf]))
@@ -167,3 +167,30 @@ def test_class_attention_matches_torch():
                                wd.numpy(), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gs).reshape(-1, N, tC),
                                wsg.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_diffusion_matches_xla():
+    """Fused Pallas diffusion kernel (interpret mode on CPU) vs the XLA
+    path on the same params."""
+    from gwdepth_tpu.ops.pallas_kernels import ref_attn_diffusion_pallas
+    rng = np.random.default_rng(3)
+    B, P, R, H = 2, 98, 8, 4
+    a = rng.normal(size=(B, P, R, H)).astype(np.float32)
+    w = rng.normal(size=(3, 3, H, H)).astype(np.float32) * 0.1
+    b = rng.normal(size=(H,)).astype(np.float32) * 0.1
+
+    # XLA reference path (same math as RefAttnDiffusion's fallback)
+    x = jnp.asarray(a)
+    for _ in range(3):
+        upd = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(b)
+        mean = upd.mean(axis=(1, 2), keepdims=True)
+        var = upd.var(axis=(1, 2), keepdims=True)
+        upd = (upd - mean) * jax.lax.rsqrt(var + 1e-5)
+        x = x + jax.nn.gelu(upd, approximate=False)
+
+    got = ref_attn_diffusion_pallas(jnp.asarray(a), jnp.asarray(w),
+                                    jnp.asarray(b), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=2e-4, atol=2e-5)
