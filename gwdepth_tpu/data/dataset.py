@@ -194,19 +194,21 @@ def make_batch(samples: Sequence[Dict[str, np.ndarray]]) -> Batch:
 
 
 class Loader:
-    """Minimal epoch iterator with a background prefetch thread — the
+    """Epoch iterator with a decode thread pool + prefetch queue — the
     DataLoader(num_workers=2) replacement (reference:
-    src/main_glassrgbd.py:95)."""
+    src/main_glassrgbd.py:95). PIL/zlib release the GIL during png decode,
+    so threads parallelize the host hot path effectively."""
 
     def __init__(self, dataset: GlassRGBDDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 4):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -223,12 +225,25 @@ class Loader:
             order = order[jax.process_index()::jax.process_count()]
         nb = len(order) // self.bs if self.drop_last else -(-len(order) // self.bs)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        from concurrent.futures import ThreadPoolExecutor
 
         def worker():
-            for b in range(nb):
-                idxs = order[b * self.bs:(b + 1) * self.bs]
-                samples = [self.ds[int(i)] for i in idxs]
-                q.put((make_batch(samples), [s["name"] for s in samples]))
+            import collections
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                pending: "collections.deque" = collections.deque()
+                bi = 0
+                while bi < nb or pending:
+                    # sliding submit window bounds decoded-ahead memory
+                    while bi < nb and len(pending) <= self.prefetch:
+                        idxs = order[bi * self.bs:(bi + 1) * self.bs]
+                        pending.append([
+                            pool.submit(self.ds.__getitem__, int(i))
+                            for i in idxs])
+                        bi += 1
+                    fs = pending.popleft()
+                    samples = [f.result() for f in fs]
+                    q.put((make_batch(samples),
+                           [s["name"] for s in samples]))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)
