@@ -64,6 +64,9 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
         if cfg.with_dense:
             cur = {"depth_sums": res["depth_sums"],
                    "confusion": res["confusion"]}
+            if "eval_losses" in res:
+                cur["eval_losses"] = res["eval_losses"]
+                cur["eval_loss_count"] = jnp.ones(())
             acc = cur if acc is None else add(acc, cur)
         if cfg.with_line and collect_lines:
             got = jax.device_get({"pred_logits": res["pred_logits"],
@@ -76,10 +79,14 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
                     "pred_lines": got["pred_lines"][i],
                     "extent": got["extent"][i],
                 })
+    eval_losses = None
     if acc is not None:
         acc = jax.device_get(acc)
         depth_sums = np.asarray(acc["depth_sums"], np.float64)
         confusion = np.asarray(acc["confusion"], np.float64)
+        if "eval_losses" in acc:
+            eval_losses = (np.asarray(acc["eval_losses"])
+                           / max(float(acc["eval_loss_count"]), 1.0))
     else:
         depth_sums = np.zeros(10, np.float64)
         confusion = np.zeros((2, 2), np.float64)
@@ -87,6 +94,10 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
     if cfg.with_dense:
         stats.update(summarize_depth(depth_sums))
         stats.update(summarize_seg(confusion))
+    if eval_losses is not None:
+        stats["loss_ce"] = float(eval_losses[0])
+        stats["loss_line"] = float(eval_losses[1])
+        stats["cardinality_error"] = float(eval_losses[2])
     if collect_lines:
         stats["line_dumps"] = line_dumps  # type: ignore[assignment]
     return stats

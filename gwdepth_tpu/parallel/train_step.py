@@ -177,6 +177,18 @@ def make_eval_step(cfg: GWDepthConfig, model,
     def step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
         outputs = model.apply({"params": params}, batch.images, batch.valid)
         res: Dict[str, jnp.ndarray] = {}
+        if cfg.with_line:
+            # eval-time line losses, logged like the reference
+            # (engine_glassrgbd.py:220-229)
+            ld = line_set_criterion(
+                {"pred_logits": outputs["pred_logits"],
+                 "pred_lines": outputs["pred_lines"]},
+                batch.lines, batch.line_mask,
+                eos_coef=cfg.eos_coef, set_cost_class=cfg.set_cost_class,
+                set_cost_line=cfg.set_cost_line,
+                matcher_backend=cfg.matcher)
+            res["eval_losses"] = jnp.stack(
+                [ld["loss_ce"], ld["loss_line"], ld["cardinality_error"]])
         if cfg.with_dense:
             depth = outputs["pred_depth"][-1]
             gt_valid = (batch.depth > cfg.min_depth_eval) & \
