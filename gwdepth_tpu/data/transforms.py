@@ -30,9 +30,8 @@ until `normalize`.
 from __future__ import annotations
 
 import dataclasses
-import math
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance

@@ -20,7 +20,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from gwdepth_tpu.ops.interpolate import resize_nearest, resize_bilinear
+from gwdepth_tpu.ops.interpolate import resize_nearest
 from gwdepth_tpu.ops.lap import match_lines
 
 

@@ -19,7 +19,6 @@ covers all local devices; multi-host runs call jax.distributed.initialize
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time

@@ -14,7 +14,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from gwdepth_tpu.models.swin import TRUNC02, XAVIER, Mlp
+from gwdepth_tpu.models.swin import XAVIER, Mlp
 from gwdepth_tpu.ops.interpolate import resize_nearest_nhwc
 
 

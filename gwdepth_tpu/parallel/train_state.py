@@ -12,7 +12,7 @@ multi_transform param labels over the functional param tree.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.struct
 import jax

@@ -17,7 +17,6 @@ sums across the split (reference: engine_glassrgbd.py:242-264, 311).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax

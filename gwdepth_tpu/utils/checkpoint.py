@@ -14,9 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any, Dict, Optional
-
-import jax
+from typing import Optional
 
 
 class CheckpointManager:
