@@ -28,6 +28,10 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_keep, create=True,
+                # permanently keep epoch-stamped copies every save_freq —
+                # the reference's periodic checkpoint policy
+                # (main_glassrgbd.py:216-219)
+                keep_period=max(save_freq_epochs, 1),
                 enable_async_checkpointing=True),
         )
 
