@@ -171,3 +171,29 @@ def test_eval_split_deterministic(disk_dataset):
     a, b = ds[1], ds[1]
     np.testing.assert_array_equal(a["images"], b["images"])
     np.testing.assert_array_equal(a["lines"], b["lines"])
+
+
+def test_reflection_hint_loading(disk_dataset, tmp_path):
+    """with_reflection variant loads rhint_points json -> padded [x, y]
+    slots normalized by the original extent (reference:
+    glassrgbd_data.py:277-279 flips [row, col] -> [col, row])."""
+    import json as _json
+    cfg = disk_dataset
+    rdir = tmp_path / "rhints"
+    rdir.mkdir()
+    # hints for img000 only: [row, col] pairs
+    with open(rdir / "img000.json", "w") as f:
+        _json.dump({"rhint_points": [[45.0, 30.0], [10.0, 100.0]]}, f)
+    cfg2 = cfg.replace(with_reflection=True,
+                       glassrgbd_rhint_points_path=str(rdir),
+                       max_rhint_points=4)
+    ds = GlassRGBDDataset(cfg2, "val")
+    item = ds[0]
+    pts = item["reflection_points"]
+    mask = item["reflection_mask"]
+    assert pts.shape == (4, 2) and mask.sum() == 2
+    # [row=45, col=30] -> normalized (x=30/120, y=45/90)
+    np.testing.assert_allclose(pts[0], [30 / 120, 45 / 90], atol=1e-6)
+    # missing json -> zero hints
+    item1 = ds[1]
+    assert item1["reflection_mask"].sum() == 0
