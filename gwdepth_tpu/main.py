@@ -55,6 +55,13 @@ def build_argparser() -> argparse.ArgumentParser:
         p.add_argument(f"--{name}", type=str, default="")
     p.add_argument("--save_freq", type=int, default=25)
     p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--matcher", type=str, default="jax",
+                   choices=("jax", "scipy"))
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--mesh", type=str, default="-1",
+                   help="mesh shape, e.g. '-1' (pure DP) or '4,2' (DPxTP)")
     p.add_argument("--train_h", type=int, default=cfg.train_hw[0])
     p.add_argument("--train_w", type=int, default=cfg.train_hw[1])
     p.add_argument("--eval_h", type=int, default=cfg.eval_hw[0])
@@ -103,6 +110,9 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
         output_dir=args.output_dir,
         train_hw=(args.train_h, args.train_w),
         eval_hw=(args.eval_h, args.eval_w),
+        matcher=args.matcher, use_pallas=args.use_pallas, remat=args.remat,
+        mesh_shape=tuple(int(v) for v in args.mesh.split(",")),
+        mesh_axes=("data", "model")[:len(args.mesh.split(","))],
     )
 
 
@@ -186,7 +196,7 @@ def main(argv=None):
 
     train_ds = GlassRGBDDataset(cfg, "train")
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
-                          seed=seed)
+                          seed=seed, num_workers=args.num_workers)
     from gwdepth_tpu.parallel import place_params, place_replicated
     # replicated under a pure-data mesh; TP-sharded when a `model` axis
     # exists (opt-state moments inherit the param shardings via zeros_like)
