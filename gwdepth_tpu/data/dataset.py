@@ -138,16 +138,19 @@ class GlassRGBDDataset:
         out = collate_sample(s, canvas, cfg, name)
         rpts = self.load_reflection(name)
         if rpts is not None:
-            # pad to fixed slots, normalized to the ORIGINAL image extent
-            # (hints are stored in original pixel coords)
+            # hints stored in ORIGINAL pixel coords -> normalize by the raw
+            # extent, then rescale into the canvas frame like the lines
             raw_w, raw_h = Image.open(
                 os.path.join(cfg.data_path, name + ".png")).size
+            ih, iw = out["orig_hw"]
+            ch, cw = canvas
             P = cfg.max_rhint_points
             padded = np.zeros((P, 2), np.float32)
             mask = np.zeros((P,), bool)
             n = min(len(rpts), P)
             if n:
-                padded[:n] = rpts[:n] / np.array([raw_w, raw_h], np.float32)
+                norm = rpts[:n] / np.array([raw_w, raw_h], np.float32)
+                padded[:n] = norm * np.array([iw / cw, ih / ch], np.float32)
                 mask[:n] = True
             out["reflection_points"] = padded
             out["reflection_mask"] = mask
@@ -179,6 +182,14 @@ def collate_sample(s: Sample, canvas_hw: Tuple[int, int],
         ln = s.lines[:n].astype(np.float32)
         if cfg.with_center:
             ln = np.concatenate([ln, s.centers[:n].astype(np.float32)], 1)
+        # IMAGE-normalized -> CANVAS-normalized. The dense branch samples
+        # predicted lines on the padded canvas ([-1,1] over the full map,
+        # multiscale_transformerr.py:1174-1175); the reference trains at
+        # batch 1 where padding is zero so image==canvas — with a fixed
+        # canvas the two frames must be reconciled here or reference points
+        # land below/right of the true lines.
+        scale = np.array([w / cw, h / ch], np.float32)
+        ln = ln * np.tile(scale, D // 2)
         lines[:n] = ln
         mask[:n] = True
     return {"images": img, "valid": valid, "depth": depth, "seg": seg,

@@ -197,3 +197,21 @@ def test_reflection_hint_loading(disk_dataset, tmp_path):
     # missing json -> zero hints
     item1 = ds[1]
     assert item1["reflection_mask"].sum() == 0
+
+
+def test_lines_canvas_normalized_with_padding(disk_dataset):
+    """When the image does not fill the canvas, line coords must be
+    normalized to the CANVAS frame (match the dense branch's [-1,1]
+    sampling), i.e. bounded by the image extent fraction."""
+    cfg = disk_dataset.replace(train_hw=(128, 128), eval_hw=(128, 128))
+    ds = GlassRGBDDataset(cfg, "val")
+    item = ds[0]
+    # 120x90 image -> resized to 128x96 -> canvas 128x128: height fills
+    # 96/128 = 0.75 of the canvas
+    valid_frac_y = item["orig_hw"][0] / 128
+    assert valid_frac_y < 1.0
+    lines = item["lines"][item["line_mask"]]
+    assert lines[:, 1::2].max() <= valid_frac_y + 1e-6
+    # and re-projecting onto the canvas lands inside the valid region
+    ys_px = lines[:, 1::2] * 128
+    assert ys_px.max() <= item["orig_hw"][0] + 1e-4

@@ -103,3 +103,38 @@ def test_aph_perfect_predictions(tmp_path):
                  score=np.linspace(1.0, 0.6, 5))
     s2 = aph_score(str(pred_dir), str(gt_dir))
     assert s2 < s
+
+
+def test_canvas_norm_dump_roundtrip(tmp_path):
+    """GT lines canvas-normalized by the dataset, converted back to the
+    image frame by the CLI dump path (main.py --benchmark math), score
+    perfect sAP against GT npz in original-image 128-space."""
+    from gwdepth_tpu.evaluation import sap_score
+    rng = np.random.default_rng(9)
+    iw, ih = 96, 72                      # image extent on the canvas
+    cw, ch = 128, 128                    # padded canvas
+    raw_w, raw_h = 640, 480              # original image
+    pred_dir = tmp_path / "pred"; gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    for i in range(2):
+        # original-pixel GT lines
+        px = rng.uniform(20, 600, (5, 2)).astype(np.float64)
+        py = rng.uniform(20, 440, (5, 2)).astype(np.float64)
+        gt128 = np.stack([py * 128 / raw_h, px * 128 / raw_w], -1)  # (5,2,2) yx
+        np.savez(gt_dir / f"i{i}.npz", lpos=gt128)
+        # dataset normalization: orig px -> image-norm -> canvas-norm
+        img_norm_x, img_norm_y = px / raw_w, py / raw_h
+        canvas_x = img_norm_x * (iw / cw)
+        canvas_y = img_norm_y * (ih / ch)
+        pred_lines = np.zeros((8, 4))
+        pred_lines[:5] = np.stack([canvas_x[:, 0], canvas_y[:, 0],
+                                   canvas_x[:, 1], canvas_y[:, 1]], -1)
+        logits = np.full((8, 2), -4.0)
+        logits[:5, 0] = 4.0
+        # CLI dump conversion (main.py --benchmark): canvas -> image frame
+        lines = pred_lines.copy()
+        lines[:, 0::2] *= cw / iw
+        lines[:, 1::2] *= ch / ih
+        dump_benchmark_npz(str(pred_dir), f"i{i}", logits, lines, (ih, iw))
+    scores = sap_score(str(pred_dir), str(gt_dir))
+    assert scores[5] > 99.0, scores
