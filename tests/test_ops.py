@@ -146,3 +146,31 @@ def test_match_lines_vmaps():
     n_valid = jnp.asarray([1, 3, 5])
     out = jax.jit(jax.vmap(match_lines))(costs, n_valid)
     assert out.shape == (B, T)
+
+
+def test_hungarian_fuzz_vs_scipy():
+    """Fuzz the on-device JV solver against scipy on adversarial matrices:
+    ties, duplicated rows/columns, huge magnitude spread, near-zero costs.
+    Optimal COST must match (assignments may differ on ties)."""
+    from scipy.optimize import linear_sum_assignment
+    from gwdepth_tpu.ops.lap import hungarian
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        n = int(rng.integers(2, 24))
+        kind = trial % 5
+        if kind == 0:
+            c = rng.normal(size=(n, n))
+        elif kind == 1:
+            c = rng.integers(0, 3, (n, n)).astype(np.float64)   # many ties
+        elif kind == 2:
+            c = np.tile(rng.normal(size=(1, n)), (n, 1))        # equal rows
+        elif kind == 3:
+            c = rng.normal(size=(n, n)) * 1e6                    # big spread
+        else:
+            c = np.abs(rng.normal(size=(n, n))) * 1e-6           # tiny
+        col4row = np.asarray(hungarian(jnp.asarray(c, jnp.float32)))
+        assert sorted(col4row.tolist()) == list(range(n)), "not a permutation"
+        got = c[np.arange(n), col4row].sum()
+        r, cc = linear_sum_assignment(c)
+        want = c[r, cc].sum()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
