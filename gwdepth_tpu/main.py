@@ -154,14 +154,22 @@ def main(argv=None):
         import torch as _torch
         from gwdepth_tpu.convert.torch_weights import (
             detr_torch_to_flax, merge_params)
+        from gwdepth_tpu.convert.full_model import glassrgbd_torch_to_flax
         sd = _torch.load(args.torch_init, map_location="cpu",
                          weights_only=False)
         sd = sd.get("model", sd)
         sd = {k: v.numpy() for k, v in sd.items()
               if hasattr(v, "numpy")}
-        overlay = detr_torch_to_flax(sd)
+        # a trained reference GlassRGBD checkpoint carries dense_encoder
+        # keys; otherwise treat as a DETR-R50 warm start
+        if any(k.startswith("dense_encoder.") for k in sd):
+            overlay = glassrgbd_torch_to_flax(sd)
+            kind = "full GlassRGBD checkpoint"
+        else:
+            overlay = detr_torch_to_flax(sd)
+            kind = "DETR warm start"
         params = jax.tree.map(jnp.asarray, merge_params(params, overlay))
-        print(f"warm start from {args.torch_init}: "
+        print(f"{kind} from {args.torch_init}: "
               f"{len(jax.tree.leaves(overlay))} tensors converted")
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params, devices: "
