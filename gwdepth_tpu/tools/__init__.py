@@ -8,6 +8,6 @@ dataset; they are not on the training path.
 
 from gwdepth_tpu.tools.depth_completion import (  # noqa: F401
     Intrinsics, deproject, project, interpolate_side_points,
-    complete_polygon_depth, complete_depth)
+    complete_polygon_depth, complete_depth, compare_depth_preds)
 from gwdepth_tpu.tools.reflection import (  # noqa: F401
     reflection_difference, sample_reflection_points)

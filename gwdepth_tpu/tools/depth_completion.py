@@ -197,3 +197,18 @@ def complete_depth(raw_depth_mm: np.ndarray, label: Dict,
             out = complete_polygon_depth(out, np.asarray(pts, np.float64),
                                          intr, step_mm)
     return out
+
+
+def compare_depth_preds(pred_mm: np.ndarray, gt_mm: np.ndarray,
+                        min_mm: float = 1.0, max_mm: float = 10000.0) -> Dict:
+    """Offline RMSE/MAE comparison of saved depth predictions vs GT
+    (reference: depth_interpolation/depth_pred_comparison.py). Inputs in
+    millimeters; invalid GT (outside [min, max]) excluded."""
+    valid = (gt_mm > min_mm) & (gt_mm < max_mm)
+    if not valid.any():
+        return {"rmse_mm": float("nan"), "mae_mm": float("nan"),
+                "valid_frac": 0.0}
+    d = pred_mm[valid].astype(np.float64) - gt_mm[valid].astype(np.float64)
+    return {"rmse_mm": float(np.sqrt((d ** 2).mean())),
+            "mae_mm": float(np.abs(d).mean()),
+            "valid_frac": float(valid.mean())}
