@@ -50,9 +50,13 @@ def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
 
 
 def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
-             collect_lines: bool = False) -> Dict[str, float]:
+             collect_lines: bool = False,
+             save_dense_dir: Optional[str] = None) -> Dict[str, float]:
     """Returns the reference's eval dict: 9 depth metrics + seg IoUs
-    (+ optionally raw line predictions per image for offline sAP)."""
+    (+ optionally raw line predictions per image for offline sAP).
+    `save_dense_dir` saves per-image prediction grids like the reference's
+    --save_dense path (engine_glassrgbd.py:266-274); requires an eval_step
+    built with return_dense=True."""
     # accumulate ON DEVICE; one host transfer at the end (remote-TPU
     # tunnels charge ~seconds per transfer)
     import jax.numpy as jnp
@@ -68,6 +72,18 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
                 cur["eval_losses"] = res["eval_losses"]
                 cur["eval_loss_count"] = jnp.ones(())
             acc = cur if acc is None else add(acc, cur)
+        if save_dense_dir is not None and "pred_depth_full" in res:
+            import os
+            from gwdepth_tpu.utils.visualize import save_dense_pred
+            got_d = jax.device_get({"d": res["pred_depth_full"],
+                                    "s": res["pred_seg_cls"]})
+            for i, name in enumerate(names):
+                save_dense_pred(
+                    got_d["d"][i], np.asarray(batch.depth[i]),
+                    got_d["s"][i], np.asarray(batch.seg[i]),
+                    np.asarray(batch.images[i]),
+                    os.path.join(save_dense_dir, f"{name}.png"),
+                    max_depth=cfg.max_depth)
         if cfg.with_line and collect_lines:
             got = jax.device_get({"pred_logits": res["pred_logits"],
                                   "pred_lines": res["pred_lines"],

@@ -45,7 +45,7 @@ def build_argparser() -> argparse.ArgumentParser:
     # feature gates (reference: src/args.py:126-131)
     for gate in ("with_line", "with_dense", "with_center",
                  "with_plane_norm_loss", "aux_loss_off", "eval",
-                 "log_depth_error", "bf16", "benchmark"):
+                 "log_depth_error", "bf16", "benchmark", "save_dense"):
         p.add_argument(f"--{gate}", action="store_true")
     # paths (reference: src/args.py:102-108)
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
@@ -142,7 +142,8 @@ def main(argv=None):
     eval_ds = GlassRGBDDataset(cfg, "val")
     eval_loader = Loader(eval_ds, batch_size=1, shuffle=False,
                          drop_last=False)
-    eval_step = make_eval_step(cfg, model, mesh)
+    eval_step = make_eval_step(cfg, model, mesh,
+                               return_dense=args.save_dense)
 
     import jax.numpy as jnp
     init_imgs = jnp.zeros((1, *cfg.train_hw, 3), jnp.float32)
@@ -180,8 +181,11 @@ def main(argv=None):
         ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
         state, _ = ckpt.restore(state)
         with mesh:
+            sd_dir = (os.path.join(out_dir, "dense_pred")
+                      if args.save_dense else None)
             stats = evaluate(cfg, state.params, eval_step, eval_loader,
-                             collect_lines=args.benchmark)
+                             collect_lines=args.benchmark,
+                             save_dense_dir=sd_dir)
         if args.benchmark and cfg.with_line:
             # per-image npz dumps for offline sAP/F-score
             # (reference: src/engine.py:117-165)

@@ -168,10 +168,13 @@ def seg_confusion(pred_cls: jnp.ndarray, gt: jnp.ndarray,
 
 
 def make_eval_step(cfg: GWDepthConfig, model,
-                   mesh: Optional[Mesh] = None) -> Callable:
+                   mesh: Optional[Mesh] = None,
+                   return_dense: bool = False) -> Callable:
     """Returns jitted (params, batch) -> dict of device accumulators:
     depth_sums (10,), confusion (2,2), plus line outputs for offline
-    sAP/F-score dumps."""
+    sAP/F-score dumps. `return_dense` additionally returns the full-res
+    depth map and seg argmax per image (for save_dense visualization,
+    reference engine_glassrgbd.py:266-274) — costs a per-batch transfer."""
 
     def step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
         outputs = model.apply({"params": params}, batch.images, batch.valid)
@@ -198,6 +201,9 @@ def make_eval_step(cfg: GWDepthConfig, model,
             pred_cls = jnp.argmax(outputs["pred_seg"], axis=-1)
             res["confusion"] = seg_confusion(pred_cls, batch.seg,
                                              batch.valid)
+            if return_dense:
+                res["pred_depth_full"] = depth
+                res["pred_seg_cls"] = pred_cls
         if cfg.with_line:
             res["pred_logits"] = outputs["pred_logits"]
             res["pred_lines"] = outputs["pred_lines"]
