@@ -29,12 +29,25 @@ from gwdepth_tpu.utils.logging import MetricLogger
 
 def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
                     loader, epoch: int, rng,
-                    logger: Optional[MetricLogger] = None):
-    """Returns (state, stats dict of epoch global averages)."""
+                    logger: Optional[MetricLogger] = None,
+                    vis_dir: Optional[str] = None):
+    """Returns (state, stats dict of epoch global averages). `vis_dir`
+    saves the first batch's label overlay once per epoch — the reference's
+    training-input visual check (engine_glassrgbd.py:47-50)."""
     logger = logger or MetricLogger(print_freq=10)
     header = f"Epoch: [{epoch}]"
+    first = True
     for batch, _names in logger.log_every(loader.epoch(epoch), header,
                                           total=len(loader)):
+        if first and vis_dir is not None:
+            import os
+            from gwdepth_tpu.utils.visualize import show_labels
+            show_labels(np.asarray(batch.images[0]),
+                        np.asarray(batch.lines[0][np.asarray(
+                            batch.line_mask[0])]),
+                        os.path.join(vis_dir, f"input_epoch{epoch}.png"),
+                        with_center=cfg.with_center)
+        first = False
         rng, step_rng = jax.random.split(rng)
         state, log_vec = train_step(state, batch, step_rng)
         # ONE device->host transfer for all log scalars (train_step stacks
@@ -51,12 +64,16 @@ def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
 
 def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
              collect_lines: bool = False,
-             save_dense_dir: Optional[str] = None) -> Dict[str, float]:
+             save_dense_dir: Optional[str] = None,
+             save_line_dir: Optional[str] = None,
+             line_score_thresh: float = 0.7) -> Dict[str, float]:
     """Returns the reference's eval dict: 9 depth metrics + seg IoUs
     (+ optionally raw line predictions per image for offline sAP).
     `save_dense_dir` saves per-image prediction grids like the reference's
     --save_dense path (engine_glassrgbd.py:266-274); requires an eval_step
-    built with return_dense=True."""
+    built with return_dense=True. `save_line_dir` renders pred-vs-GT line
+    overlays per image (engine_glassrgbd.py:286-305); implies line
+    collection."""
     # accumulate ON DEVICE; one host transfer at the end (remote-TPU
     # tunnels charge ~seconds per transfer)
     import jax.numpy as jnp
@@ -84,17 +101,34 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
                     np.asarray(batch.images[i]),
                     os.path.join(save_dense_dir, f"{name}.png"),
                     max_depth=cfg.max_depth)
-        if cfg.with_line and collect_lines:
+        if cfg.with_line and (collect_lines or save_line_dir):
             got = jax.device_get({"pred_logits": res["pred_logits"],
                                   "pred_lines": res["pred_lines"],
                                   "extent": res["extent"]})
             for i, name in enumerate(names):
-                line_dumps.append({
-                    "name": name,
-                    "pred_logits": got["pred_logits"][i],
-                    "pred_lines": got["pred_lines"][i],
-                    "extent": got["extent"][i],
-                })
+                if collect_lines:
+                    line_dumps.append({
+                        "name": name,
+                        "pred_logits": got["pred_logits"][i],
+                        "pred_lines": got["pred_lines"][i],
+                        "extent": got["extent"][i],
+                    })
+                if save_line_dir is not None:
+                    import os
+                    from gwdepth_tpu.evaluation.line_metrics import softmax
+                    from gwdepth_tpu.utils.visualize import vis_pred_lines
+                    img = np.asarray(batch.images[i])
+                    h, w = img.shape[:2]
+                    scores = softmax(got["pred_logits"][i], -1)[:, 0]
+                    pred_px = got["pred_lines"][i][:, :4] \
+                        * np.array([w, h, w, h])
+                    gt = np.asarray(batch.lines[i][np.asarray(
+                        batch.line_mask[i])])
+                    gt_px = gt[:, :4] * np.array([w, h, w, h])
+                    vis_pred_lines(pred_px, scores, gt_px, img,
+                                   os.path.join(save_line_dir,
+                                                f"{name}.png"),
+                                   score_thresh=line_score_thresh)
     eval_losses = None
     if acc is not None:
         acc = jax.device_get(acc)

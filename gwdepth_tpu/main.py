@@ -45,7 +45,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # feature gates (reference: src/args.py:126-131)
     for gate in ("with_line", "with_dense", "with_center",
                  "with_plane_norm_loss", "aux_loss_off", "eval",
-                 "log_depth_error", "bf16", "benchmark", "save_dense"):
+                 "log_depth_error", "bf16", "benchmark", "save_dense",
+                 "save_line"):
         p.add_argument(f"--{gate}", action="store_true")
     # paths (reference: src/args.py:102-108)
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
@@ -183,9 +184,11 @@ def main(argv=None):
         with mesh:
             sd_dir = (os.path.join(out_dir, "dense_pred")
                       if args.save_dense else None)
+            sl_dir = (os.path.join(out_dir, "line_pred")
+                      if args.save_line else None)
             stats = evaluate(cfg, state.params, eval_step, eval_loader,
                              collect_lines=args.benchmark,
-                             save_dense_dir=sd_dir)
+                             save_dense_dir=sd_dir, save_line_dir=sl_dir)
         if args.benchmark and cfg.with_line:
             # per-image npz dumps for offline sAP/F-score
             # (reference: src/engine.py:117-165)
@@ -227,7 +230,8 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.epochs):
         with mesh:
             state, train_stats = train_one_epoch(
-                cfg, state, train_step, train_loader, epoch, rng)
+                cfg, state, train_step, train_loader, epoch, rng,
+                vis_dir=os.path.join(out_dir, "input_log"))
         ckpt.save(epoch, state, cfg)
         log = {"epoch": epoch,
                **{f"train_{k}": v for k, v in train_stats.items()}}
