@@ -52,7 +52,8 @@ def build_argparser() -> argparse.ArgumentParser:
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
                  "filenames_file_train", "filenames_file_eval",
                  "glassrgbd_images_json", "output_dir", "resume",
-                 "torch_init"):
+                 "torch_init", "coco_path", "coco_ann_train",
+                 "coco_ann_val"):
         p.add_argument(f"--{name}", type=str, default="")
     p.add_argument("--save_freq", type=int, default=25)
     p.add_argument("--eval_freq", type=int, default=1)
@@ -122,6 +123,15 @@ def main(argv=None):
     cfg = config_from_args(args)
 
     from gwdepth_tpu.data.dataset import GlassRGBDDataset, Loader
+    from gwdepth_tpu.data.coco_lines import CocoLinesDataset
+
+    def build_dataset(split):
+        """COCO-lines (wireframe/york, reference legacy main.py path) when
+        --coco_path is given, else GW-Depth."""
+        if args.coco_path:
+            ann = args.coco_ann_train if split == "train" else args.coco_ann_val
+            return CocoLinesDataset(cfg, args.coco_path, ann, split)
+        return GlassRGBDDataset(cfg, split)
     from gwdepth_tpu.engine import train_one_epoch, evaluate, format_eval_line
     from gwdepth_tpu.models import GlassRGBD
     from gwdepth_tpu.parallel import (
@@ -140,7 +150,7 @@ def main(argv=None):
     model = GlassRGBD(cfg)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
 
-    eval_ds = GlassRGBDDataset(cfg, "val")
+    eval_ds = build_dataset("val")
     eval_loader = Loader(eval_ds, batch_size=1, shuffle=False,
                          drop_last=False)
     eval_step = make_eval_step(cfg, model, mesh,
@@ -209,7 +219,7 @@ def main(argv=None):
             f.write(format_eval_line(0, stats) + "\n")
         return stats
 
-    train_ds = GlassRGBDDataset(cfg, "train")
+    train_ds = build_dataset("train")
     train_loader = Loader(train_ds, batch_size=cfg.batch_size, shuffle=True,
                           seed=seed, num_workers=args.num_workers)
     from gwdepth_tpu.parallel import place_params, place_replicated
