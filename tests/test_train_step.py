@@ -130,3 +130,21 @@ def test_seg_confusion():
     valid = jnp.ones((1, 2, 2), bool)
     cm = np.asarray(seg_confusion(pred, gt, valid))
     np.testing.assert_array_equal(cm, [[1, 0], [1, 2]])
+
+
+def test_line_only_config_paths():
+    """with_dense=False (the wireframe recipe): train/eval steps run with
+    only line losses and no depth accumulators."""
+    cfg = tiny_test_config(with_dense=False)
+    model = GlassRGBD(cfg)
+    batch = dummy_batch(cfg, 2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 batch.images)["params"]
+    state = create_train_state(cfg, params, 10)
+    step = make_train_step(cfg, model)
+    state, lv = step(state, batch, jax.random.PRNGKey(1))
+    logs = dict(zip(step.log_keys, np.asarray(lv).tolist()))
+    assert np.isfinite(logs["loss"]) and "loss_depth_1" not in logs
+    estep = make_eval_step(cfg, model)
+    res = estep(state.params, batch)
+    assert "depth_sums" not in res and "pred_lines" in res
