@@ -215,3 +215,33 @@ def test_lines_canvas_normalized_with_padding(disk_dataset):
     # and re-projecting onto the canvas lands inside the valid region
     ys_px = lines[:, 1::2] * 128
     assert ys_px.max() <= item["orig_hw"][0] + 1e-4
+
+
+def test_depth_only_dataset(tmp_path):
+    """NYU/BTS-style depth-only pairs run through the same Batch pipeline
+    with zero line supervision."""
+    from gwdepth_tpu.data.depth_only import DepthOnlyDataset
+    rng = np.random.default_rng(2)
+    os.makedirs(tmp_path / "rgb")
+    os.makedirs(tmp_path / "dep")
+    lines = []
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (60, 80, 3), np.uint8)).save(
+            tmp_path / "rgb" / f"{i}.png")
+        Image.fromarray(rng.integers(500, 8000, (60, 80)).astype(np.int32),
+                        "I").save(tmp_path / "dep" / f"{i}.png")
+        lines.append(f"rgb/{i}.png dep/{i}.png 518.8")
+    fn = tmp_path / "nyu_train.txt"
+    fn.write_text("\n".join(lines))
+    cfg = tiny_test_config(with_line=False, train_hw=(64, 96),
+                           eval_hw=(64, 96))
+    ds = DepthOnlyDataset(cfg, str(tmp_path), str(fn), "val")
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["images"].shape == (64, 96, 3)
+    assert item["depth"].max() <= 10.0 and item["depth"].max() > 0.1
+    assert item["line_mask"].sum() == 0
+    # train split augments without lines
+    ds_t = DepthOnlyDataset(cfg, str(tmp_path), str(fn), "train")
+    item_t = ds_t.__getitem__(1, seed=5)
+    assert item_t["images"].shape == (64, 96, 3)
