@@ -153,13 +153,18 @@ class DenseEncoder(nn.Module):
         seg_token = jnp.broadcast_to(seg_tok_init[:, None],
                                      (B, h1, w1, tC)).astype(x.dtype)
 
+        # per-layer PointGuidedTokenFuse gate: we honor the
+        # `class_tokenfuse_layers` flag the reference declares but never
+        # consumes (src/args.py:154; geometry_utils.py:535-652)
+        tokfuse = tuple(cfg.class_tokenfuse_layers)
+        tokpos1 = posmap(masks[2], tC) if tokfuse[0] else None
         x, depth_token, seg_token = SwinLayer(
             D // 2, cfg.class_trans_layers[0], heads, ws, cfg.mlp_ratio,
             "class", tC, tuple(cfg.group_attention_layers[0]), remat=cfg.remat,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.use_pallas, token_fuse=tokfuse[0],
             name="class_transformer1")(
             x, ref_coords=ref, ref_pos=pos1,
-            depth_token=depth_token, seg_token=seg_token)
+            depth_token=depth_token, seg_token=seg_token, token_pos=tokpos1)
         d16 = DepthHead(tC, name="depth_pred16")(
             jnp.concatenate([x, depth_token], axis=-1))[..., 0]
         feat16 = x
@@ -181,13 +186,14 @@ class DenseEncoder(nn.Module):
         seg_token = MlpNorm(tC * 2, tC, name="old_seg_token_proj8")(
             _up_nhwc(seg_token, (h2, w2)))
 
+        tokpos2 = posmap(masks[1], tC) if tokfuse[1] else None
         x, depth_token, seg_token = SwinLayer(
             D // 4, cfg.class_trans_layers[1], heads, ws, cfg.mlp_ratio,
             "class", tC, tuple(cfg.group_attention_layers[1]), remat=cfg.remat,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.use_pallas, token_fuse=tokfuse[1],
             name="class_transformer2")(
             x, ref_coords=coords, ref_pos=pos2,
-            depth_token=depth_token, seg_token=seg_token)
+            depth_token=depth_token, seg_token=seg_token, token_pos=tokpos2)
 
         if cfg.depth_sample_layers[0]:
             d8 = PointBasedPred(D // 4, tC, (16, 8, 4, 2),
@@ -215,13 +221,14 @@ class DenseEncoder(nn.Module):
         seg_token = MlpNorm(tC * 2, tC, name="old_seg_token_proj4")(
             _up_nhwc(seg_token, (h3, w3)))
 
+        tokpos3 = posmap(masks[0], tC) if tokfuse[2] else None
         x, depth_token, seg_token = SwinLayer(
             D // 8, cfg.class_trans_layers[2], heads, ws, cfg.mlp_ratio,
             "class", tC, tuple(cfg.group_attention_layers[2]), remat=cfg.remat,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.use_pallas, token_fuse=tokfuse[2],
             name="class_transformer3")(
             x, ref_coords=coords, ref_pos=pos3,
-            depth_token=depth_token, seg_token=seg_token)
+            depth_token=depth_token, seg_token=seg_token, token_pos=tokpos3)
 
         if cfg.depth_sample_layers[2]:
             d4 = PointBasedPred(D // 8, tC, (16, 8, 4, 2),

@@ -17,9 +17,14 @@ Static-shape re-derivation of the reference's point machinery
   softmax(pyramid(global x refer)) * anchor depth (points_sample.py:235-280),
   with the reference's `dim**-2` attention scale (:273).
 
-`OffsetGeneration` (ConvexHull point doubling, points_sample.py:133-233) is
-inactive in the shipped config (`pre_point_double` forced False,
-multiscale_transformerr.py:906-909) and is intentionally not built.
+- `OffsetGeneration` (ConvexHull point doubling, points_sample.py:133-233)
+  is inactive in the shipped config (`pre_point_double` forced False at the
+  only call sites, multiscale_transformerr.py:1057 commented /:906-909) but
+  rebuilt as library code; the hull-area argmax runs through a host
+  `pure_callback` under stop_gradient, exactly where the reference detaches
+  to CPU scipy (:221-228).
+- `sample_along_seg` / `sample_mid_seg` — extra points along each line
+  segment (points_sample.py:368-424), static-shape.
 Layout NHWC.
 """
 
@@ -232,3 +237,155 @@ class PointBasedPred(nn.Module):
         attn = jax.nn.softmax(rg.astype(jnp.float32), axis=-1)
         return jnp.einsum("bhws,bs->bhw", attn,
                           anchor.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# offset generation (inactive in the shipped config; library parity)
+# ---------------------------------------------------------------------------
+
+def _hull_areas_host(pts: "np.ndarray") -> "np.ndarray":
+    """(..., n, 2) -> (...) convex-hull areas via scipy on host (the
+    reference also detaches to CPU scipy, points_sample.py:221-228)."""
+    import numpy as np
+    from scipy.spatial import QhullError, ConvexHull
+
+    flat = pts.reshape(-1, *pts.shape[-2:])
+    out = np.zeros(flat.shape[0], np.float32)
+    for i, p in enumerate(flat):
+        try:
+            out[i] = ConvexHull(p).volume  # 2-D: volume == area
+        except QhullError:
+            out[i] = 0.0                   # degenerate/collinear set
+    return out.reshape(pts.shape[:-2])
+
+
+class OffsetGeneration(nn.Module):
+    """Extra reference-point generation: token-channel attention over
+    backbone features, dilated conv offsets, hull-area argmax selection
+    (reference: points_sample.py:133-233).
+
+    The reference path is bitrotted (its only call site passes one extra
+    positional arg, multiscale_transformerr.py:934 vs points_sample.py:187,
+    and the hull loop indexes shapes that cannot exist); this rebuild keeps
+    the evident intent: every spatial location proposes `num_ref_points/2`
+    2-D points, the location whose proposal set spans the largest convex
+    hull is chosen, and its points (grouped like the reference lines) are
+    appended to the reference coords."""
+    x_dim: int
+    token_dim: int
+    num_ref_points: int
+    pool_sizes: Tuple[int, ...] = (32, 16, 8, 4)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, depth_token: jnp.ndarray,
+                 refer_coords: jnp.ndarray,
+                 token_pos: jnp.ndarray, with_pos: bool = True) -> jnp.ndarray:
+        """x: (B, H, W, x_dim); depth_token: (B, H, W, tC);
+        refer_coords: (B, L, P, 2) in [-1,1]; token_pos: (B, H, W, x_dim).
+        Returns (B, L + num_ref_points//(2P), P, 2)."""
+        tC = self.token_dim
+        B, H, W, _ = x.shape
+        P = refer_coords.shape[2]
+
+        # token-based channel attention (points_sample.py:190-192)
+        ch = nn.Dense(tC, kernel_init=TRUNC02,
+                      name="channel_attention_fc")(depth_token)
+        ch = jax.nn.softmax(nn.gelu(ch, approximate=False), axis=-1)
+
+        xs = nn.LayerNorm(epsilon=1e-5, name="backbone_norm")(x)
+        xo = nn.Conv(self.x_dim // 2, (3, 3), padding=((1, 1), (1, 1)),
+                     kernel_init=XAVIER, name="backbone_fc0")(xs)
+        xo = nn.gelu(xo, approximate=False)
+        xo = nn.Conv(tC, (1, 1), kernel_init=XAVIER, name="backbone_fc1")(xo)
+        xo = nn.gelu(xo, approximate=False)
+        xo = ch * xo + xo
+
+        xo = nn.LayerNorm(epsilon=1e-5, name="global_norm")(xo)
+        g = nn.Conv(tC // 2, (1, 1), kernel_init=XAVIER, name="goff0")(xo)
+        g = nn.gelu(g, approximate=False)
+        g = nn.Conv(tC // 2, (3, 3), padding=((1, 1), (1, 1)),
+                    kernel_init=XAVIER, name="goff1")(g)
+        g = nn.Conv(tC // 2, (3, 3), padding=((6, 6), (6, 6)),
+                    kernel_dilation=(6, 6), kernel_init=XAVIER,
+                    name="goff2")(g)
+        g = nn.Conv(tC // 2, (3, 3), padding=((16, 16), (16, 16)),
+                    kernel_dilation=(16, 16), kernel_init=XAVIER,
+                    name="goff3")(g)
+        g = nn.Conv(tC // 2, (3, 3), padding=((1, 1), (1, 1)),
+                    kernel_init=XAVIER, name="goff4")(g)
+        g = nn.Conv(tC // 4, (1, 1), kernel_init=XAVIER, name="goff5")(g)
+        g = nn.gelu(g, approximate=False)
+        g = nn.Conv(tC // 4, (1, 1), kernel_init=XAVIER, name="goff6")(g)
+
+        # bilinear sampling at the current reference points (:206-211)
+        refer_x = grid_sample_nhwc(xs, refer_coords)
+        if with_pos:
+            refer_x = refer_x + grid_sample_nhwc(token_pos, refer_coords)
+        refer_x = refer_x.reshape(B, -1, self.x_dim)
+        refer_x = nn.Dense(tC // 4, kernel_init=TRUNC02,
+                           name="refer_proj")(refer_x)      # (B, L*P, tC/4)
+
+        ref_g = jnp.einsum("bnc,bhwc->bnhw", refer_x, g,
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)                # (B, L*P, H, W)
+        ref_g = jnp.moveaxis(ref_g, 1, 3)                   # NHWC planes
+        ref_g = PyramidLayer(self.num_ref_points, self.pool_sizes,
+                             name="pyramid")(ref_g)
+        coords = nn.sigmoid(ref_g.reshape(B, H * W, -1))    # (B, HW, nRP)
+        pts = coords.reshape(B, H * W, self.num_ref_points // 2, 2)
+
+        areas = jax.pure_callback(
+            _hull_areas_host,
+            jax.ShapeDtypeStruct((B, H * W), jnp.float32),
+            jax.lax.stop_gradient(pts), vmap_method="sequential")
+        best = jnp.argmax(areas, axis=-1)                   # (B,)
+        chosen = jnp.take_along_axis(
+            coords, best[:, None, None], axis=1)[:, 0]      # (B, nRP)
+        chosen = chosen.reshape(B, -1, P, 2) * 2.0 - 1.0
+        return jnp.concatenate([refer_coords, chosen], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# extra points along line segments (points_sample.py:368-424)
+# ---------------------------------------------------------------------------
+
+def sample_along_seg(lines: jnp.ndarray, height: int, width: int,
+                     sample_num_seg: int = 10) -> jnp.ndarray:
+    """Append `sample_num_seg` evenly spaced points along each segment
+    (reference: points_sample.py:368-415). lines: (B, L, 2, 2) in [-1, 1].
+    Returns (B, L, 2 + sample_num_seg, 2) in [-1, 1]. The reference's
+    y-step sign trick (:391-400) is kept: steps always start from the
+    leftmost endpoint and walk toward the other, y moving by |dy|/n with the
+    sign of (y_end - y_start)."""
+    px = (lines + 1.0) / 2.0
+    px = px * jnp.array([width, height], dtype=px.dtype)
+
+    st_id = jnp.argmin(px[..., 0], axis=2)                  # (B, L)
+    end_id = jnp.argmax(px[..., 0], axis=2)
+    st = jnp.take_along_axis(px, st_id[..., None, None]
+                             .repeat(2, -1), axis=2)[:, :, 0]
+    end = jnp.take_along_axis(px, end_id[..., None, None]
+                              .repeat(2, -1), axis=2)[:, :, 0]
+
+    dist = jnp.sqrt(jnp.sum((st - end) ** 2, axis=-1))
+    safe = jnp.maximum(dist, 1e-12)
+    cosv = jnp.abs(st[..., 0] - end[..., 0]) / safe
+    sinv = jnp.abs(st[..., 1] - end[..., 1]) / safe
+    seg = dist / sample_num_seg
+    row_oper = jnp.where(st[..., 1] < end[..., 1], 1.0, -1.0)
+
+    steps = jnp.arange(1, sample_num_seg + 1, dtype=px.dtype)
+    p_x = st[..., 0, None] + (seg * cosv)[..., None] * steps
+    p_y = st[..., 1, None] + (seg * sinv * row_oper)[..., None] * steps
+    new_pts = jnp.stack([p_x, p_y], axis=-1)                # (B, L, n, 2)
+
+    allp = jnp.concatenate([px, new_pts], axis=2)
+    allp = allp / jnp.array([width, height], dtype=px.dtype)
+    return allp * 2.0 - 1.0
+
+
+def sample_mid_seg(lines: jnp.ndarray) -> jnp.ndarray:
+    """Append each segment's midpoint (reference: points_sample.py:418-424).
+    lines: (B, L, 2, 2) -> (B, L, 3, 2)."""
+    mid = (lines[:, :, 0] + lines[:, :, 1]) / 2.0
+    return jnp.concatenate([lines, mid[:, :, None]], axis=2)

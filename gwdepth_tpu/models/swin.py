@@ -339,15 +339,19 @@ class SwinBlock(nn.Module):
     token_dim: int = 0
     group_attention: bool = False
     use_pallas: bool = False
+    token_fuse: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  ref_coords: Optional[jnp.ndarray] = None,
                  ref_pos: Optional[jnp.ndarray] = None,
                  depth_token: Optional[jnp.ndarray] = None,
-                 seg_token: Optional[jnp.ndarray] = None):
+                 seg_token: Optional[jnp.ndarray] = None,
+                 token_pos: Optional[jnp.ndarray] = None):
         """x: (B, H, W, C); ref_coords: (B, L, P, 2) in [-1,1];
-        ref_pos: (B, H, W, C) positional map; tokens: (B, H, W, tC)."""
+        ref_pos: (B, H, W, C) positional map; tokens: (B, H, W, tC);
+        token_pos: (B, H, W, tC) positional map for the token streams
+        (only used when token_fuse)."""
         B, H, W, C = x.shape
         ws, shift = self.window_size, self.shift_size
         Hp = -(-H // ws) * ws
@@ -430,6 +434,14 @@ class SwinBlock(nn.Module):
             seg_token = seg_token + Mlp(
                 int(tC * self.mlp_ratio), tC,
                 name="mlp_seg")(nn.LayerNorm(name="norm_seg2")(seg_token))
+            if self.token_fuse and ref_coords is not None:
+                # point-guided depth-token fusion, gated like the reference's
+                # `token_fuse and args.with_line` (multiscale_transformerr.py
+                # :781-786); uses the rolled ref coords, as there
+                from gwdepth_tpu.models.geometry import PointGuidedTokenFuse
+                depth_token = PointGuidedTokenFuse(
+                    C, tC, name="token_relation")(
+                    x, seg_token, depth_token, ref_coords, token_pos)
 
         return x, depth_token, seg_token
 
@@ -447,10 +459,11 @@ class SwinLayer(nn.Module):
     group_blocks: Tuple[bool, ...] = ()
     remat: bool = False
     use_pallas: bool = False
+    token_fuse: bool = False
 
     @nn.compact
     def __call__(self, x, ref_coords=None, ref_pos=None,
-                 depth_token=None, seg_token=None):
+                 depth_token=None, seg_token=None, token_pos=None):
         Block = nn.remat(SwinBlock, static_argnums=()) if self.remat else SwinBlock
         for i in range(self.depth):
             group = (self.group_blocks[i]
@@ -459,7 +472,7 @@ class SwinLayer(nn.Module):
                 self.dim, self.num_heads, self.window_size,
                 0 if i % 2 == 0 else self.window_size // 2,
                 self.mlp_ratio, self.attn_kind, self.token_dim, group,
-                self.use_pallas,
+                self.use_pallas, self.token_fuse,
                 name=f"block{i}")(x, ref_coords, ref_pos,
-                                  depth_token, seg_token)
+                                  depth_token, seg_token, token_pos)
         return x, depth_token, seg_token
