@@ -82,3 +82,88 @@ def test_reflection_pipeline():
     pts = np.array(hints["rhint_points"])
     assert len(pts) >= 1
     assert (pts[:, 0] >= 4).all() and (pts[:, 0] <= 15).all()
+
+
+# ---------------------------------------------------------------------------
+# raw-capture / labeling prep (reference: depth_interpolation/
+# raw_preprocess.py, read_binfile.py)
+# ---------------------------------------------------------------------------
+
+def test_read_raw_depth_bin_roundtrip(tmp_path):
+    from gwdepth_tpu.tools.raw_capture import read_raw_depth
+    rng = np.random.default_rng(0)
+    depth = rng.integers(0, 8000, (12, 16)).astype("<u2")
+    p = tmp_path / "d.bin"
+    depth.tofile(p)
+    got = read_raw_depth(16, 12, str(p))
+    np.testing.assert_array_equal(got, depth)
+
+
+def test_crop_by_labelme(tmp_path):
+    from PIL import Image
+    from gwdepth_tpu.tools.raw_capture import crop_by_labelme
+    import json as _json
+    img = np.zeros((20, 30, 3), np.uint8)
+    img[5:11, 8:16] = 200
+    Image.fromarray(img).save(tmp_path / "a.png")
+    depth = np.arange(20 * 30, dtype=np.uint16).reshape(20, 30)
+    np.save(tmp_path / "a.npy", depth)
+    label = {"shapes": [
+        {"label": "crop", "shape_type": "rectangle",
+         "points": [[8, 5], [15, 10]]},
+        {"label": "glass", "shape_type": "polygon", "points": [[0, 0]]},
+    ]}
+    (tmp_path / "a.json").write_text(_json.dumps(label))
+    out = tmp_path / "out"
+    saved = crop_by_labelme(str(tmp_path / "a.json"), str(tmp_path / "a.png"),
+                            str(tmp_path / "a.npy"), str(out))
+    assert len(saved) == 1
+    cropped = np.asarray(Image.open(saved[0]))
+    # inclusive bottom-right corner (reference: raw_preprocess.py:75-76)
+    assert cropped.shape == (6, 8, 3)
+    assert (cropped == 200).all()
+    d = np.load(out / "a.npy")
+    np.testing.assert_array_equal(d, depth[5:11, 8:16])
+
+
+def test_polygon_labels_to_mask(tmp_path):
+    import json as _json
+    from gwdepth_tpu.tools.raw_capture import polygon_labels_to_mask
+    label = {"shapes": [{"label": "glass", "shape_type": "polygon",
+                         "points": [[2, 2], [12, 2], [12, 9], [2, 9]]}]}
+    p = tmp_path / "l.json"
+    p.write_text(_json.dumps(label))
+    m = polygon_labels_to_mask(str(p), width=16, height=12)
+    assert m.shape == (12, 16) and m.dtype == np.uint8
+    assert m[5, 7] == 1 and m[0, 0] == 0 and m[11, 15] == 0
+
+
+def test_split_train_val(tmp_path):
+    from gwdepth_tpu.tools.raw_capture import split_train_val
+    imgs = tmp_path / "images"
+    imgs.mkdir()
+    for i in range(12):
+        (imgs / f"im{i:03d}.png").write_bytes(b"")
+    t1, v1 = split_train_val(str(imgs), str(tmp_path / "train.txt"),
+                             str(tmp_path / "val.txt"), val_ratio=0.25)
+    assert (t1, v1) == (9, 3)
+    train = (tmp_path / "train.txt").read_text().split()
+    val = (tmp_path / "val.txt").read_text().split()
+    assert len(set(train) | set(val)) == 12
+    assert not set(train) & set(val)
+    # deterministic under the same seed
+    t2 = (tmp_path / "t2.txt"); v2 = (tmp_path / "v2.txt")
+    split_train_val(str(imgs), str(t2), str(v2), val_ratio=0.25)
+    assert t2.read_text().split() == train
+
+
+def test_capture_frames_requires_hardware(tmp_path):
+    import pytest as _pytest
+    from gwdepth_tpu.tools.raw_capture import capture_frames
+    try:
+        import pyrealsense2  # noqa: F401
+        _pytest.skip("pyrealsense2 present")
+    except ImportError:
+        pass
+    with _pytest.raises(RuntimeError, match="pyrealsense2"):
+        capture_frames(str(tmp_path))
