@@ -128,6 +128,11 @@ def ref_attn_diffusion_pallas(a: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec((1, P, RH), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, RH), jnp.float32),
+        # plane (P, RH) + fused weights (3, RH, RH) + T (RH, RH) + temps:
+        # ~21 MB at eval size (P=980, RH=640) — above the 16 MB default
+        # scoped-vmem limit, comfortably inside physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(a.reshape(B, P, RH).astype(jnp.float32), wrow, bias, T)
     return out.reshape(B, P, R, H).astype(a.dtype)

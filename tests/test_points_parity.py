@@ -90,3 +90,17 @@ def test_upconv_matches_torch():
     np.testing.assert_allclose(np.asarray(got),
                                want.permute(0, 2, 3, 1).numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_topk_flat_matches_lax_topk_with_ties():
+    """The hierarchical top-k used by certain_sample must be exact,
+    including tie order (stable, lower flat index first)."""
+    from gwdepth_tpu.models.points import _topk_flat
+    rng = np.random.default_rng(17)
+    for total, S in [(49152, 160), (12288, 30), (500, 30), (2048, 80)]:
+        v = rng.normal(size=(total,)).astype(np.float32)
+        v[::7] = 2.0            # heavy ties crossing row boundaries
+        v[5::11] = 2.0
+        got = np.asarray(_topk_flat(jnp.asarray(v), S))
+        want = np.asarray(jax.lax.top_k(jnp.asarray(v), S)[1])
+        np.testing.assert_array_equal(got, want)
