@@ -501,3 +501,30 @@ def test_class_tokenfuse_gate_adds_params():
     n_on = sum(x.size for x in jax.tree.leaves(p_on))
     assert n_on > n_off
     assert "token_relation" in str(jax.tree_util.tree_structure(p_on))
+
+
+def test_class_tokenfuse_gate_gradients_flow():
+    """Training-path health: grads reach the PointGuidedTokenFuse params
+    when the gate is on (the fuse REPLACES the depth token, so it is on the
+    loss path of every depth prediction)."""
+    from gwdepth_tpu.config import tiny_test_config
+    from gwdepth_tpu.models.glassrgbd import GlassRGBD
+
+    cfg = tiny_test_config(class_tokenfuse_layers=(True, False, False))
+    model = GlassRGBD(cfg)
+    H, W = cfg.train_hw
+    img = jnp.asarray(RNG.normal(size=(1, H, W, 3)), jnp.float32)
+    mask = jnp.ones((1, H, W), bool)
+    params = model.init(jax.random.PRNGKey(0), img, mask)
+
+    def loss(p):
+        out = model.apply(p, img, mask)
+        return sum(jnp.mean(d) for d in out["pred_depth"])
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    tok = [np.abs(np.asarray(v)).sum() for k, v in flat
+           if "token_relation" in jax.tree_util.keystr(k)]
+    assert tok, "no token_relation grads found"
+    assert all(np.isfinite(x) for x in tok)
+    assert sum(x > 0 for x in tok) >= len(tok) // 2
