@@ -132,6 +132,40 @@ def fscore_score(pred_dir: str, gt_dir: str,
     return {t: 100 * fscore(*_score_curve(pairs, t)) for t in thresholds}
 
 
+def pr_curve(pred_dir: str, gt_dir: str, threshold: float = 10
+             ) -> Dict[str, np.ndarray]:
+    """Precision/recall arrays at one endpoint-distance threshold — the
+    data behind the reference's PR plots (reference: evaluation/
+    eval-aph-post-*.py renders curves from the same cumulative tp/fp)."""
+    tp, fp = _score_curve(_load_dir_pairs(pred_dir, gt_dir), threshold)
+    recall = tp
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    return {"recall": recall, "precision": precision}
+
+
+def plot_pr_curves(curves: Dict[str, Dict[str, np.ndarray]], out_png: str,
+                   title: str = "PR") -> str:
+    """Render named PR curves to a png (matplotlib Agg; the reference uses
+    MATLAB + TkAgg plots for the same figure). `curves`: label ->
+    {recall, precision}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axm = plt.subplots(figsize=(5, 5))
+    for label, c in curves.items():
+        axm.plot(c["recall"], c["precision"], label=label)
+    axm.set_xlabel("recall")
+    axm.set_ylabel("precision")
+    axm.set_xlim(0, 1)
+    axm.set_ylim(0, 1)
+    axm.grid(alpha=0.3)
+    axm.legend()
+    axm.set_title(title)
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_png
+
+
 # ---------------------------------------------------------------------------
 # postprocess + dumps
 # ---------------------------------------------------------------------------

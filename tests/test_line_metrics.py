@@ -138,3 +138,24 @@ def test_canvas_norm_dump_roundtrip(tmp_path):
         dump_benchmark_npz(str(pred_dir), f"i{i}", logits, lines, (ih, iw))
     scores = sap_score(str(pred_dir), str(gt_dir))
     assert scores[5] > 99.0, scores
+
+
+def test_pr_curve_and_plot(tmp_path):
+    """PR arrays are monotone-recall and the plot writes a png
+    (reference: evaluation/eval-aph-post-*.py curve rendering)."""
+    from gwdepth_tpu.evaluation.line_metrics import pr_curve, plot_pr_curves
+    rng = np.random.default_rng(0)
+    pred_dir = tmp_path / "pred"; gt_dir = tmp_path / "gt"
+    pred_dir.mkdir(); gt_dir.mkdir()
+    gt = rng.uniform(0, 128, (6, 2, 2)).astype(np.float32)
+    pred = np.concatenate([gt[:4] + rng.normal(0, 1, (4, 2, 2)),
+                           rng.uniform(0, 128, (5, 2, 2))]).astype(np.float32)
+    np.savez(pred_dir / "a.npz", lines=pred, score=np.linspace(1, 0.1, 9))
+    np.savez(gt_dir / "a.npz", lpos=gt)
+    c = pr_curve(str(pred_dir), str(gt_dir), threshold=10)
+    assert c["recall"].shape == c["precision"].shape == (9,)
+    assert (np.diff(c["recall"]) >= -1e-9).all()
+    assert (c["precision"] <= 1.0 + 1e-9).all()
+    out = plot_pr_curves({"run0": c}, str(tmp_path / "pr.png"))
+    import os
+    assert os.path.getsize(out) > 0
