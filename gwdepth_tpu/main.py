@@ -44,10 +44,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_depth", type=float, default=cfg.max_depth)
     # feature gates (reference: src/args.py:126-131)
     for gate in ("with_line", "with_dense", "with_center",
-                 "with_plane_norm_loss", "aux_loss_off", "eval",
+                 "with_plane_norm_loss", "with_reflection",
+                 "with_dense_center", "with_line_depth",
+                 "aux_loss_off", "eval",
                  "log_depth_error", "bf16", "benchmark", "save_dense",
                  "save_line"):
         p.add_argument(f"--{gate}", action="store_true")
+    # focal label loss (reference: src/args.py:69-71, stage-2 focal recipes)
+    p.add_argument("--label_loss_func", type=str, default="cross_entropy",
+                   choices=("cross_entropy", "focal_loss"))
+    p.add_argument("--focal_gamma", type=float, default=2.0)
+    # per-class-layer PointGuidedTokenFuse gate (the reference declares
+    # --class_tokenfuse_layers but never consumes it, src/args.py:154;
+    # here it is functional) — e.g. "1,0,0"
+    p.add_argument("--class_tokenfuse_layers", type=str, default="0,0,0")
     # paths (reference: src/args.py:102-108)
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
                  "filenames_file_train", "filenames_file_eval",
@@ -101,6 +111,13 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
         with_line=args.with_line, with_dense=args.with_dense,
         with_center=args.with_center,
         with_plane_norm_loss=args.with_plane_norm_loss,
+        with_reflection=args.with_reflection,
+        with_dense_center=args.with_dense_center,
+        with_line_depth=args.with_line_depth,
+        label_loss_func=args.label_loss_func,
+        focal_gamma=args.focal_gamma,
+        class_tokenfuse_layers=tuple(
+            bool(int(v)) for v in args.class_tokenfuse_layers.split(",")),
         aux_loss=not args.aux_loss_off,
         log_depth_error=True,
         dtype="bfloat16" if args.bf16 else "float32",
