@@ -41,6 +41,8 @@ def build_argparser() -> argparse.ArgumentParser:
         p.add_argument(f"--{name}", type=int, default=getattr(cfg, name))
     p.add_argument("--clip_max_norm", type=float, default=cfg.clip_max_norm)
     p.add_argument("--backbone", type=str, default=cfg.backbone)
+    p.add_argument("--position_embedding", type=str, default="sine",
+                   choices=("sine", "v2", "learned", "v3"))
     p.add_argument("--max_depth", type=float, default=cfg.max_depth)
     # feature gates (reference: src/args.py:126-131)
     for gate in ("with_line", "with_dense", "with_center",
@@ -103,6 +105,7 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
         weight_decay=args.weight_decay, batch_size=args.batch_size,
         epochs=args.epochs, lr_drop=args.lr_drop, seed=args.seed,
         clip_max_norm=args.clip_max_norm, backbone=args.backbone,
+        position_embedding=args.position_embedding,
         num_queries=args.num_queries, enc_layers=args.enc_layers,
         dec_layers=args.dec_layers, hidden_dim=args.hidden_dim,
         nheads=args.nheads, dim_feedforward=args.dim_feedforward,

@@ -53,9 +53,19 @@ class GlassRGBD(nn.Module):
 
         out: Dict[str, jnp.ndarray] = {}
         if cfg.with_line:
-            # normalized sine pos-embed, DETR-style (backbone.py:97-110)
-            pos = sine_posemb_from_mask_nhwc(src_mask, cfg.hidden_dim // 2,
-                                             normalize=True).astype(src.dtype)
+            if cfg.position_embedding in ("v3", "learned"):
+                # learned row/col tables (position_encoding.py:50-77,
+                # selected at :79-87)
+                from gwdepth_tpu.ops.posemb import LearnedPosEmb2D
+                hs_, ws_ = src.shape[1:3]
+                pos = LearnedPosEmb2D(cfg.hidden_dim // 2,
+                                      name="position_embedding")(
+                    B, hs_, ws_).astype(src.dtype)
+            else:
+                # normalized sine pos-embed, DETR-style (backbone.py:97-110)
+                pos = sine_posemb_from_mask_nhwc(
+                    src_mask, cfg.hidden_dim // 2,
+                    normalize=True).astype(src.dtype)
             proj = nn.Conv(cfg.hidden_dim, (1, 1), kernel_init=nn.initializers
                            .variance_scaling(1 / 3, "fan_in", "uniform"),
                            name="input_proj")(src)

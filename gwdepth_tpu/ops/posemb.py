@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import math
 
+import flax.linen as _nn
 import jax.numpy as jnp
 
 
@@ -71,3 +72,28 @@ def sine_posemb_grid(batch: int, H: int, W: int, num_pos_feats: int,
     static ramp, so XLA folds this to a constant)."""
     ones = jnp.ones((batch, H, W), dtype=jnp.bool_)
     return sine_posemb_from_mask(ones, num_pos_feats, temperature, normalize, scale)
+
+
+class LearnedPosEmb2D(_nn.Module):
+    """Learned absolute 2-D position embedding
+    (reference: src/models/position_encoding.py:50-77, selected by
+    --position_embedding learned/v3 at :79-87).
+
+    Row/col tables of size 50 with uniform init, concat [x_emb, y_emb] —
+    table size and ordering preserved from the reference (feature maps
+    larger than 50 in either dim are unsupported there too; the line
+    branch runs at 1/32, i.e. <= 32x32 for 1024px inputs)."""
+    num_pos_feats: int = 256
+
+    @_nn.compact
+    def __call__(self, B: int, H: int, W: int) -> jnp.ndarray:
+        """-> (B, H, W, 2*num_pos_feats) NHWC."""
+        init = _nn.initializers.uniform(scale=1.0)
+        F = self.num_pos_feats
+        row = self.param("row_embed", init, (50, F))
+        col = self.param("col_embed", init, (50, F))
+        pos = jnp.concatenate([
+            jnp.broadcast_to(col[:W][None, :, :], (H, W, F)),
+            jnp.broadcast_to(row[:H][:, None, :], (H, W, F)),
+        ], axis=-1)
+        return jnp.broadcast_to(pos[None], (B, H, W, 2 * F))

@@ -174,3 +174,32 @@ def test_hungarian_fuzz_vs_scipy():
         r, cc = linear_sum_assignment(c)
         want = c[r, cc].sum()
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_learned_posemb_matches_torch():
+    """Learned row/col embedding vs the reference layout
+    (position_encoding.py:50-77): concat [x_emb per column, y_emb per row]
+    on channels."""
+    from gwdepth_tpu.ops.posemb import LearnedPosEmb2D
+    m = LearnedPosEmb2D(8)
+    params = m.init(jax.random.PRNGKey(3), 2, 6, 9)
+    got = np.asarray(m.apply(params, 2, 6, 9))           # (2, 6, 9, 16)
+    row = np.asarray(params["params"]["row_embed"])
+    col = np.asarray(params["params"]["col_embed"])
+    want = np.concatenate([
+        np.broadcast_to(col[:9][None], (6, 9, 8)),
+        np.broadcast_to(row[:6][:, None], (6, 9, 8)),
+    ], axis=-1)
+    np.testing.assert_allclose(got[0], want, atol=0)
+    np.testing.assert_allclose(got[1], want, atol=0)
+
+
+def test_learned_posemb_selected_in_model():
+    from gwdepth_tpu.config import tiny_test_config
+    from gwdepth_tpu.models import GlassRGBD
+    cfg = tiny_test_config(position_embedding="learned", with_dense=False)
+    img = jnp.zeros((1, *cfg.train_hw, 3), jnp.float32)
+    params = GlassRGBD(cfg).init(jax.random.PRNGKey(0), img)
+    assert "position_embedding" in params["params"]
+    out = GlassRGBD(cfg).apply(params, img)
+    assert out["pred_lines"].shape[-1] == cfg.line_dim
