@@ -167,3 +167,68 @@ def test_capture_frames_requires_hardware(tmp_path):
         pass
     with _pytest.raises(RuntimeError, match="pyrealsense2"):
         capture_frames(str(tmp_path))
+
+
+def test_sne_normals_matches_torch_oracle():
+    """Jittable SNE vs a torch restatement of the reference estimator
+    (src/models/sne_model.py:6-90), on a smooth synthetic depth ramp."""
+    import jax.numpy as jnp
+    from gwdepth_tpu.tools.sne import sne_normals, _DIFF
+    torch = __import__("pytest").importorskip("torch")
+    import torch.nn.functional as TF
+
+    H, W = 24, 32
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[:H, :W].astype(np.float32)
+    depth = 2.0 + 0.01 * xx + 0.02 * yy + 0.001 * rng.normal(size=(H, W))
+    depth = depth.astype(np.float32)
+    cam = np.array([[600.0, 0, W / 2], [0, 610.0, H / 2], [0, 0, 1]],
+                   np.float32)
+
+    got = np.asarray(sne_normals(jnp.asarray(depth), jnp.asarray(cam)))
+
+    with torch.no_grad():
+        d = torch.from_numpy(depth)
+        camt = torch.from_numpy(cam)
+        v, u = torch.meshgrid(torch.arange(H), torch.arange(W),
+                              indexing="ij")
+        v, u = v.float(), u.float()
+        Z = d.clone()
+        Y = Z * (v - camt[1, 2]) / camt[0, 0]
+        X = Z * (u - camt[0, 2]) / camt[0, 0]
+        Z[Y <= 0] = 0
+        Y[Y <= 0] = 0
+        D = 1.0 / Z
+        conv = lambda t, k: TF.conv2d(t.view(1, 1, H, W),
+                                      torch.from_numpy(k).view(1, 1, 3, 3),
+                                      padding=1)[0, 0]
+        gx = np.array([[0, 0, 0], [-1, 0, 1], [0, 0, 0]], np.float32)
+        gy = np.array([[0, -1, 0], [0, 0, 0], [0, 1, 0]], np.float32)
+        nx_t = conv(D, gx) * camt[0, 0]
+        ny_t = conv(D, gy) * camt[1, 1]
+        phi = torch.atan(ny_t / nx_t) + np.pi
+        a, b = torch.cos(phi), torch.sin(phi)
+        sx = torch.zeros(H, W); sy = torch.zeros(H, W); sz = torch.zeros(H, W)
+        for i in range(8):
+            X_d = conv(X, _DIFF[i]); Y_d = conv(Y, _DIFF[i])
+            Z_d = conv(Z, _DIFF[i])
+            nz_i = (nx_t * X_d + ny_t * Y_d) / Z_d
+            norm = torch.sqrt(nx_t ** 2 + ny_t ** 2 + nz_i ** 2)
+            for s, t in ((sx, nx_t / norm), (sy, ny_t / norm),
+                         (sz, nz_i / norm)):
+                t = t.clone(); t[torch.isnan(t)] = 0
+                s += t
+        theta = -torch.atan((sx * a + sy * b) / sz)
+        nx = torch.sin(theta) * torch.cos(phi)
+        ny = torch.sin(theta) * torch.sin(phi)
+        nz = torch.cos(theta)
+        nx[torch.isnan(nz)] = 0; ny[torch.isnan(nz)] = 0
+        nz[torch.isnan(nz)] = -1
+        sign = torch.ones(H, W); sign[ny > 0] = -1
+        want = torch.stack([nx * sign, ny * sign, nz * sign]).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # unit norm where defined
+    n = np.linalg.norm(got, axis=0)
+    assert np.isfinite(got).all()
+    assert (np.abs(n[2:-2, 2:-2] - 1.0) < 1e-3).all()
