@@ -9,7 +9,12 @@ vmaps over the batch, and returns bit-identical assignments (cost-optimal;
 ties may resolve differently, which leaves the loss unchanged).
 
 A `pure_callback`-to-scipy variant is kept for cross-checking and for hosts
-without a device budget for the serial loop.
+without a device budget for the serial loop. NOTE: the axon TPU backend
+does not implement host send/recv callbacks (pure_callback raises
+UNIMPLEMENTED there), so `backend="scipy"` is a CPU-only path; on TPU the
+JV solver is the only option. The JV while_loop trip count is
+data-dependent — ~20 ms/step slower on structured scenes than on random
+targets at reference sizes (batch 1, Q=100).
 """
 
 from __future__ import annotations
