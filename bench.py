@@ -33,11 +33,17 @@ def main():
 
     cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
     model = GlassRGBD(cfg)
-    # distinct inputs per iteration: remote-TPU tunnels can memoize repeat
-    # executions of identical (program, input) pairs
-    inputs = [jax.random.normal(jax.random.PRNGKey(i),
+    # ENTROPY-fresh inputs, one per timed iteration: the remote-TPU tunnel
+    # memoizes identical (program, input) executions ACROSS PROCESSES, so
+    # a fixed-seed benchmark replayed by the driver would report cache
+    # lookups, not compute. (Eval fwd was verified memo-free, fresh ==
+    # repeat — the entropy seed keeps that guarantee cheap and permanent.)
+    import os
+    seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
+    n_iters = 24
+    inputs = [jax.random.normal(jax.random.PRNGKey(seed + i),
                                 (1, *cfg.eval_hw, 3), jnp.float32)
-              for i in range(8)]
+              for i in range(n_iters + 2)]
     params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs[0])
 
     @jax.jit
@@ -48,9 +54,8 @@ def main():
     # warmup / compile
     jax.block_until_ready(fwd(inputs[0]))
     jax.block_until_ready(fwd(inputs[1]))
-    n_iters = 24
     t0 = time.perf_counter()
-    outs = [fwd(inputs[i % len(inputs)]) for i in range(n_iters)]
+    outs = [fwd(inputs[2 + i]) for i in range(n_iters)]
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     ips = n_iters / dt

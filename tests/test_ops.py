@@ -203,3 +203,45 @@ def test_learned_posemb_selected_in_model():
     assert "position_embedding" in params["params"]
     out = GlassRGBD(cfg).apply(params, img)
     assert out["pred_lines"].shape[-1] == cfg.line_dim
+
+
+def test_hungarian_rect_fuzz_vs_scipy():
+    """Rectangular JV (only n_valid rows augmented, gated loops) vs
+    scipy's rectangular solve: exact assignment on unique costs,
+    cost-optimal on ties/degenerate matrices, -1 for skipped rows."""
+    from scipy.optimize import linear_sum_assignment
+    from gwdepth_tpu.ops.lap import hungarian_rect
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        T = int(rng.integers(1, 30))
+        Q = int(rng.integers(T, 110))
+        nv = int(rng.integers(1, T + 1))
+        if trial % 3 == 0:
+            cost = rng.integers(0, 4, size=(T, Q)).astype(np.float32)
+            if trial % 6 == 0:
+                cost[:] = 0.0
+        else:
+            cost = (rng.normal(size=(T, Q)).astype(np.float32)
+                    * rng.uniform(0.1, 10))
+        got = np.asarray(hungarian_rect(jnp.asarray(cost), jnp.int32(nv)))
+        sel = got[:nv]
+        assert (got[nv:] == -1).all()
+        assert len(set(sel.tolist())) == nv
+        assert (sel >= 0).all() and (sel < Q).all()
+        r, c = linear_sum_assignment(cost[:nv].astype(np.float64))
+        np.testing.assert_allclose(cost[np.arange(nv), sel].sum(),
+                                   cost[r, c].sum(), rtol=1e-5, atol=1e-3)
+
+
+def test_match_lines_jax_matches_scipy_rectangular():
+    """The jax backend's direct rectangular solve returns scipy's exact
+    assignment on unique-cost DETR-sized problems (Q=100, T=96)."""
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(11)
+    for nv in (1, 4, 17, 40, 96):
+        cost = rng.normal(size=(100, 96)).astype(np.float32)
+        got = np.asarray(match_lines(jnp.asarray(cost), jnp.int32(nv),
+                                     "jax"))
+        r, c = linear_sum_assignment(cost[:, :nv].T.astype(np.float64))
+        assert (got[:nv] == c).all()
+        assert (got >= 0).all() and (got < 100).all()
