@@ -94,23 +94,32 @@ def line_set_criterion(
             loss_ce = jnp.mean(nll * w * (1.0 - p_t) ** focal_gamma)
         else:
             loss_ce = (nll * w).sum() / w.sum()
-        return loss_ce, loss_line, target_class
+        return loss_ce, loss_line
+
+    # ALL layers (final + aux) matched in ONE vmap: the JV matcher's serial
+    # while-loops then run in lockstep across layers, costing the MAX trip
+    # count instead of the sum of 1 + len(aux) sequential solves
+    # (the reference re-matches per aux layer in a host loop,
+    # glassrgbd.py:342-356).
+    aux = list(outputs.get("aux_outputs", ()))
+    logits_all = jnp.stack([outputs["pred_logits"]]
+                           + [a["pred_logits"] for a in aux])
+    lines_all = jnp.stack([outputs["pred_lines"]]
+                          + [a["pred_lines"] for a in aux])
+    ce_all, line_all = jax.vmap(layer_losses)(logits_all, lines_all)
 
     losses: Dict[str, jnp.ndarray] = {}
-    loss_ce, loss_line, target_class = layer_losses(
-        outputs["pred_logits"], outputs["pred_lines"])
-    losses["loss_ce"] = loss_ce
-    losses["loss_line"] = loss_line
+    losses["loss_ce"] = ce_all[0]
+    losses["loss_line"] = line_all[0]
     # cardinality metric, logging only (glassrgbd.py:196-208)
     card_pred = (jnp.argmax(outputs["pred_logits"], -1)
                  != outputs["pred_logits"].shape[-1] - 1).sum(1)
     losses["cardinality_error"] = jnp.abs(
         card_pred.astype(jnp.float32) - n_valid.astype(jnp.float32)).mean()
 
-    for i, aux in enumerate(outputs.get("aux_outputs", ())):
-        ce_i, line_i, _ = layer_losses(aux["pred_logits"], aux["pred_lines"])
-        losses[f"loss_ce_{i}"] = ce_i
-        losses[f"loss_line_{i}"] = line_i
+    for i in range(len(aux)):
+        losses[f"loss_ce_{i}"] = ce_all[i + 1]
+        losses[f"loss_line_{i}"] = line_all[i + 1]
     return losses
 
 
