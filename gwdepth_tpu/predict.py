@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--no_line", action="store_true",
                    help="depth/seg only (with_line=False)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="images per forward pass (last batch pads by "
+                        "repeating; throughput-serving knob)")
     return p
 
 
@@ -140,19 +143,37 @@ def main(argv=None):
         return r
 
     ch, cw = cfg.eval_hw
-    for path in files:
+    B = max(1, args.batch)
+    for start in range(0, len(files), B):
+        group = files[start:start + B]
+        metas, canvases, valids = [], [], []
+        for path in group:
+            img = Image.open(path)
+            canvas, valid, hw = preprocess(img, (ch, cw))
+            metas.append((path, img.size, hw))
+            canvases.append(canvas)
+            valids.append(valid)
+        while len(canvases) < B:          # pad tail batch by repetition
+            canvases.append(canvases[-1])
+            valids.append(valids[-1])
+        outb = fwd(jnp.asarray(np.stack(canvases)),
+                   jnp.asarray(np.stack(valids)))
+        outb = jax.tree.map(np.asarray, outb)
+        for bi, (path, (ow, oh), (h, w)) in enumerate(metas):
+            _emit_one(outb, bi, path, ow, oh, h, w, cfg, args)
+
+
+def _emit_one(out, bi, path, ow, oh, h, w, cfg, args):
+    """Write the outputs for one image of a batched forward."""
+    ch, cw = cfg.eval_hw
+    if True:
         name = os.path.splitext(os.path.basename(path))[0]
-        img = Image.open(path)
-        ow, oh = img.size
-        canvas, valid, (h, w) = preprocess(img, (ch, cw))
-        out = fwd(jnp.asarray(canvas[None]), jnp.asarray(valid[None]))
-        out = jax.tree.map(np.asarray, out)
 
         # crop to the real area, resize back to the original resolution
-        depth = out["depth"][0][:h, :w]
+        depth = out["depth"][bi][:h, :w]
         depth_full = np.asarray(Image.fromarray(depth).resize(
             (ow, oh), Image.BILINEAR))
-        seg = out["seg"][0][:h, :w].argmax(-1).astype(np.uint8)
+        seg = out["seg"][bi][:h, :w].argmax(-1).astype(np.uint8)
         seg_full = np.asarray(Image.fromarray(seg * 255).resize(
             (ow, oh), Image.NEAREST))
 
@@ -169,11 +190,11 @@ def main(argv=None):
         if "logits" in out:
             # lines are CANVAS-normalized; real area is the top-left (h, w)
             # -> rescale through the resized frame to original pixels
-            p = np.exp(out["logits"][0])
+            p = np.exp(out["logits"][bi])
             p = p / p.sum(-1, keepdims=True)
             scores = p[:, 0]
             keep = scores > args.score
-            ln = out["lines"][0][keep]
+            ln = out["lines"][bi][keep]
             sx, sy = cw * (ow / w), ch * (oh / h)
             rec["lines"] = (ln[:, :4] * [sx, sy, sx, sy]).tolist()
             if ln.shape[1] >= 6:

@@ -46,3 +46,25 @@ def test_predict_lines_json_in_original_pixels(outputs):
     assert (ln >= -1).all() and (ln[:, 0::2] <= 121).all() \
         and (ln[:, 1::2] <= 91).all()
     assert (outputs / "a_vis.png").exists()
+
+
+def test_predict_batched_matches_single(tmp_path):
+    """--batch N produces the same outputs as batch 1 (tail padded by
+    repetition, per-image post unchanged)."""
+    from gwdepth_tpu import predict
+    rng = np.random.default_rng(2)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for n in ("p", "q", "r"):
+        Image.fromarray(rng.integers(0, 255, (60, 70, 3))
+                        .astype(np.uint8)).save(imgs / f"{n}.png")
+    out1 = tmp_path / "o1"
+    outb = tmp_path / "ob"
+    predict.main(["--images", str(imgs), "--output_dir", str(out1),
+                  "--tiny", "--score", "0.5"])
+    predict.main(["--images", str(imgs), "--output_dir", str(outb),
+                  "--tiny", "--score", "0.5", "--batch", "2"])
+    for n in ("p", "q", "r"):
+        a = np.load(out1 / f"{n}_depth.npy")
+        b = np.load(outb / f"{n}_depth.npy")
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
