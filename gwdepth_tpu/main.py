@@ -162,6 +162,10 @@ def main(argv=None):
     out_dir = cfg.output_dir or "exp/default"
     os.makedirs(out_dir, exist_ok=True)
 
+    # startup banner (reference: main_glassrgbd.py:26, misc.py:248-265)
+    from gwdepth_tpu.utils.logging import git_sha_banner
+    print("git:", git_sha_banner())
+
     # seed offset per process (reference: main_glassrgbd.py:36-39)
     seed = cfg.seed + jax.process_index()
     np.random.seed(seed)

@@ -136,3 +136,26 @@ class MetricLogger:
             n = max(i, 1)
             print(f"{header} Total time: {tt} "
                   f"({(time.time() - start) / n:.4f} s / it)", flush=True)
+
+
+def git_sha_banner() -> str:
+    """'sha: <sha>, status: <clean|has uncommitted changes>, branch: <b>' —
+    the reference prints this at startup (reference: src/util/misc.py:248-265,
+    main_glassrgbd.py:26). Returns 'N/A' parts outside a git checkout."""
+    import os
+    import subprocess
+
+    cwd = os.path.dirname(os.path.abspath(__file__))
+
+    def run(cmd):
+        try:
+            return subprocess.check_output(
+                cmd, cwd=cwd, stderr=subprocess.DEVNULL).decode().strip()
+        except Exception:
+            return "N/A"
+
+    sha = run(["git", "rev-parse", "HEAD"])
+    diff = run(["git", "diff-index", "HEAD"])
+    branch = run(["git", "rev-parse", "--abbrev-ref", "HEAD"])
+    status = "has uncommitted changes" if diff and diff != "N/A" else "clean"
+    return f"sha: {sha}, status: {status}, branch: {branch}"
