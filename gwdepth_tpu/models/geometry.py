@@ -30,14 +30,11 @@ defaults in geometry_utils.py:222,308,637).
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from gwdepth_tpu.models.swin import Mlp, TRUNC02, XAVIER
 from gwdepth_tpu.ops.grid_sample import grid_sample_nhwc
 from gwdepth_tpu.ops.interpolate import resize_bilinear_nhwc, resize_nearest_nhwc
