@@ -99,7 +99,15 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
             glassrgbd_images_json=args.glassrgbd_images_json,
             output_dir=args.output_dir,
             train_hw=(args.train_h, args.train_w),
-            eval_hw=(args.eval_h, args.eval_w))
+            eval_hw=(args.eval_h, args.eval_w),
+            label_loss_func=args.label_loss_func,
+            focal_gamma=args.focal_gamma,
+            class_tokenfuse_layers=tuple(
+                bool(int(v)) for v in args.class_tokenfuse_layers.split(",")),
+            matcher=args.matcher, use_pallas=args.use_pallas,
+            remat=args.remat,
+            mesh_shape=tuple(int(v) for v in args.mesh.split(",")),
+            mesh_axes=("data", "model")[:len(args.mesh.split(","))])
     return GWDepthConfig(
         lr=args.lr, lr_backbone=args.lr_backbone,
         weight_decay=args.weight_decay, batch_size=args.batch_size,

@@ -1,0 +1,71 @@
+"""End-to-end CLI: train one epoch + eval on a tiny on-disk dataset
+through `gwdepth_tpu.main.main` — the full reference workflow
+(reference: script/train/a0_train_stage1_res50_glassrgbd.sh ->
+src/main_glassrgbd.py -> engine) at toy sizes, including checkpointing
+and the reference-format log files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def disk_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.default_rng(1)
+    for d in ("rgb", "depth", "seg", "lines"):
+        os.makedirs(root / d)
+    names = []
+    for i in range(2):
+        name = f"img{i:03d}"
+        names.append(name)
+        w, h = 120, 90
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
+            root / "rgb" / f"{name}.png")
+        depth = rng.integers(500, 9000, (h, w)).astype(np.uint16)
+        Image.fromarray(depth, "I;16").save(root / "depth" / f"{name}.png")
+        Image.fromarray((rng.random((h, w)) > 0.5).astype(np.uint8) * 200
+                        ).save(root / "seg" / f"{name}.png")
+        label = {"shapes": [{
+            "points": [[10, 10], [60, 12], [62, 70], [12, 68]],
+            "poly_id": 0}],
+            "imageWidth": w, "imageHeight": h, "imageId": i}
+        (root / "lines" / f"{name}.json").write_text(json.dumps(label))
+    for split in ("train", "val"):
+        (root / f"{split}.txt").write_text("\n".join(names))
+    return root
+
+
+def test_cli_train_eval_roundtrip(disk_root, tmp_path):
+    from gwdepth_tpu.main import main
+    out = tmp_path / "exp"
+    # conftest forces 8 virtual devices; a 2-image dataset needs a 1-device
+    # mesh (batch must divide the data axis, as with per-GPU batches in the
+    # reference's DDP)
+    args = ["--tiny", "--epochs", "1", "--batch_size", "2",
+            "--num_workers", "1", "--mesh", "1",
+            "--with_line", "--with_dense", "--with_center",
+            "--train_h", "96", "--train_w", "128",
+            "--eval_h", "96", "--eval_w", "128",
+            "--data_path", str(disk_root / "rgb"),
+            "--gt_depth_path", str(disk_root / "depth"),
+            "--gt_seg_path", str(disk_root / "seg"),
+            "--gt_line_path", str(disk_root / "lines"),
+            "--filenames_file_train", str(disk_root / "train.txt"),
+            "--filenames_file_eval", str(disk_root / "val.txt"),
+            "--output_dir", str(out)]
+    main(args)
+
+    # reference-format artifacts (main_glassrgbd.py:231-237,
+    # engine_glassrgbd.py:327-333; checkpoints rolling save)
+    log_lines = (out / "log.txt").read_text().strip().splitlines()
+    assert len(log_lines) == 1
+    rec = json.loads(log_lines[0])
+    assert rec["epoch"] == 0 and np.isfinite(rec["train_loss"])
+    assert any("silog" in k or "rms" in k for k in rec)
+    eval_txt = (out / "eval_results.txt").read_text()
+    assert eval_txt.strip()
+    assert (out / "checkpoints").is_dir()
