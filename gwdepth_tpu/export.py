@@ -23,9 +23,11 @@ import argparse
 from typing import Callable, Optional, Tuple
 
 
-def export_forward(cfg, params, batch_size: int = 1) -> bytes:
+def export_forward(cfg, params, batch_size: int = 1,
+                   platforms: Tuple[str, ...] = ("cpu", "tpu")) -> bytes:
     """Serialize the eval forward at `cfg.eval_hw` with weights baked in.
-    Returns the serialized artifact bytes."""
+    Lowers for every platform in `platforms` (one artifact serves both a
+    CPU smoke host and the TPU fleet). Returns the artifact bytes."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -42,7 +44,7 @@ def export_forward(cfg, params, batch_size: int = 1) -> bytes:
         return tuple(res)
 
     H, W = cfg.eval_hw
-    exp = jexport.export(fwd)(
+    exp = jexport.export(fwd, platforms=platforms)(
         jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, H, W), jnp.bool_))
     return exp.serialize()
