@@ -166,53 +166,52 @@ def main(argv=None):
 def _emit_one(out, bi, path, ow, oh, h, w, cfg, args):
     """Write the outputs for one image of a batched forward."""
     ch, cw = cfg.eval_hw
-    if True:
-        name = os.path.splitext(os.path.basename(path))[0]
+    name = os.path.splitext(os.path.basename(path))[0]
 
-        # crop to the real area, resize back to the original resolution
-        depth = out["depth"][bi][:h, :w]
-        depth_full = np.asarray(Image.fromarray(depth).resize(
-            (ow, oh), Image.BILINEAR))
-        seg = out["seg"][bi][:h, :w].argmax(-1).astype(np.uint8)
-        seg_full = np.asarray(Image.fromarray(seg * 255).resize(
-            (ow, oh), Image.NEAREST))
+    # crop to the real area, resize back to the original resolution
+    depth = out["depth"][bi][:h, :w]
+    depth_full = np.asarray(Image.fromarray(depth).resize(
+        (ow, oh), Image.BILINEAR))
+    seg = out["seg"][bi][:h, :w].argmax(-1).astype(np.uint8)
+    seg_full = np.asarray(Image.fromarray(seg * 255).resize(
+        (ow, oh), Image.NEAREST))
 
-        np.save(os.path.join(args.output_dir, f"{name}_depth.npy"),
-                depth_full.astype(np.float32))
-        Image.fromarray((np.clip(depth_full, 0, 65.535) * 1000)
-                        .astype(np.uint16)).save(
-            os.path.join(args.output_dir, f"{name}_depth.png"))
-        Image.fromarray(seg_full).save(
-            os.path.join(args.output_dir, f"{name}_seg.png"))
+    np.save(os.path.join(args.output_dir, f"{name}_depth.npy"),
+            depth_full.astype(np.float32))
+    Image.fromarray((np.clip(depth_full, 0, 65.535) * 1000)
+                    .astype(np.uint16)).save(
+        os.path.join(args.output_dir, f"{name}_depth.png"))
+    Image.fromarray(seg_full).save(
+        os.path.join(args.output_dir, f"{name}_seg.png"))
 
-        rec = {"image": os.path.basename(path), "lines": [], "centers": [],
-               "scores": []}
-        if "logits" in out:
-            # lines are CANVAS-normalized; real area is the top-left (h, w)
-            # -> rescale through the resized frame to original pixels
-            p = np.exp(out["logits"][bi])
-            p = p / p.sum(-1, keepdims=True)
-            scores = p[:, 0]
-            keep = scores > args.score
-            ln = out["lines"][bi][keep]
-            sx, sy = cw * (ow / w), ch * (oh / h)
-            rec["lines"] = (ln[:, :4] * [sx, sy, sx, sy]).tolist()
-            if ln.shape[1] >= 6:
-                rec["centers"] = (ln[:, 4:6] * [sx, sy]).tolist()
-            rec["scores"] = scores[keep].tolist()
-        with open(os.path.join(args.output_dir, f"{name}_lines.json"),
-                  "w") as f:
-            json.dump(rec, f)
+    rec = {"image": os.path.basename(path), "lines": [], "centers": [],
+           "scores": []}
+    if "logits" in out:
+        # lines are CANVAS-normalized; real area is the top-left (h, w)
+        # -> rescale through the resized frame to original pixels
+        p = np.exp(out["logits"][bi])
+        p = p / p.sum(-1, keepdims=True)
+        scores = p[:, 0]
+        keep = scores > args.score
+        ln = out["lines"][bi][keep]
+        sx, sy = cw * (ow / w), ch * (oh / h)
+        rec["lines"] = (ln[:, :4] * [sx, sy, sx, sy]).tolist()
+        if ln.shape[1] >= 6:
+            rec["centers"] = (ln[:, 4:6] * [sx, sy]).tolist()
+        rec["scores"] = scores[keep].tolist()
+    with open(os.path.join(args.output_dir, f"{name}_lines.json"),
+              "w") as f:
+        json.dump(rec, f)
 
-        if args.save_vis:
-            from gwdepth_tpu.utils.visualize import colorize_depth, draw_lines
-            vis = colorize_depth(depth_full, cfg.max_depth)
-            if rec["lines"]:
-                vis = draw_lines(vis, np.asarray(rec["lines"]))
-            Image.fromarray(vis).save(
-                os.path.join(args.output_dir, f"{name}_vis.png"))
-        print(f"{name}: depth [{depth_full.min():.2f}, "
-              f"{depth_full.max():.2f}] m, {len(rec['lines'])} lines")
+    if args.save_vis:
+        from gwdepth_tpu.utils.visualize import colorize_depth, draw_lines
+        vis = colorize_depth(depth_full, cfg.max_depth)
+        if rec["lines"]:
+            vis = draw_lines(vis, np.asarray(rec["lines"]))
+        Image.fromarray(vis).save(
+            os.path.join(args.output_dir, f"{name}_vis.png"))
+    print(f"{name}: depth [{depth_full.min():.2f}, "
+          f"{depth_full.max():.2f}] m, {len(rec['lines'])} lines")
 
 
 if __name__ == "__main__":
