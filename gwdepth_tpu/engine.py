@@ -37,8 +37,31 @@ def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
     logger = logger or MetricLogger(print_freq=10)
     header = f"Epoch: [{epoch}]"
     first = True
+    # Device log vectors are flushed in BATCHES of print_freq: remote-TPU
+    # tunnels charge seconds per device->host transfer, so a per-step pull
+    # would dominate the (133 ms) step. One stacked pull per print window
+    # keeps every value (meters update in order) at 1/print_freq the
+    # transfer count; the reference's per-step non-finite abort
+    # (engine_glassrgbd.py:150-153) fires with <= print_freq lag.
+    import jax.numpy as jnp
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        mat = np.asarray(jnp.stack(pending))       # ONE transfer
+        pending.clear()
+        for row in mat:
+            scal = dict(zip(train_step.log_keys, row.tolist()))
+            if not math.isfinite(scal["loss"]):
+                raise FloatingPointError(
+                    f"Loss is {scal['loss']}, stopping training "
+                    "(ref engine:150-153)")
+            logger.update(**scal)
+
     for batch, _names in logger.log_every(loader.epoch(epoch), header,
-                                          total=len(loader)):
+                                          total=len(loader),
+                                          before_print=flush):
         if first and vis_dir is not None:
             import os
             from gwdepth_tpu.utils.visualize import show_labels
@@ -50,14 +73,8 @@ def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
         first = False
         rng, step_rng = jax.random.split(rng)
         state, log_vec = train_step(state, batch, step_rng)
-        # ONE device->host transfer for all log scalars (train_step stacks
-        # them; per-scalar pulls cost ~1.5s over the remote-TPU tunnel)
-        scal = dict(zip(train_step.log_keys, np.asarray(log_vec).tolist()))
-        if not math.isfinite(scal["loss"]):
-            raise FloatingPointError(
-                f"Loss is {scal['loss']}, stopping training "
-                "(ref engine:150-153)")
-        logger.update(**scal)
+        pending.append(log_vec)
+    flush()
     logger.synchronize_between_processes()
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import collections
 import datetime
 import time
-from typing import Dict, Iterable, Iterator, Optional
+from typing import Callable, Dict, Iterable, Iterator, Optional
 
 import numpy as np
 
@@ -104,9 +104,14 @@ class MetricLogger:
             f"{name}: {meter}" for name, meter in self.meters.items())
 
     def log_every(self, iterable: Iterable, header: str = "",
-                  total: Optional[int] = None) -> Iterator:
+                  total: Optional[int] = None,
+                  before_print: Optional[Callable[[], None]] = None
+                  ) -> Iterator:
         """Yield items, printing a status line with ETA + iter/data time
-        every `print_freq` (misc.py:199-245)."""
+        every `print_freq` (misc.py:199-245). `before_print` runs just
+        ahead of each status line (and once at the end) — used to flush
+        batched device->host metric transfers so the printed meters are
+        current without per-step pulls."""
         total = total if total is not None else (
             len(iterable) if hasattr(iterable, "__len__") else None)
         iter_time = SmoothedValue(fmt="{avg:.4f}")
@@ -120,6 +125,8 @@ class MetricLogger:
             iter_time.update(time.time() - end)
             if self.is_main and (i % self.print_freq == 0 or
                                  (total and i == total - 1)):
+                if before_print is not None:
+                    before_print()
                 if total:
                     eta = iter_time.global_avg * (total - i)
                     eta_str = str(datetime.timedelta(seconds=int(eta)))
