@@ -119,36 +119,42 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
                     os.path.join(save_dense_dir, f"{name}.png"),
                     max_depth=cfg.max_depth)
         if cfg.with_line and (collect_lines or save_line_dir):
-            got = jax.device_get({"pred_logits": res["pred_logits"],
-                                  "pred_lines": res["pred_lines"],
-                                  "extent": res["extent"]})
+            # keep DEVICE references; one batched host pull after the loop
+            # (a per-image device_get costs seconds over the remote tunnel)
             for i, name in enumerate(names):
-                if collect_lines:
-                    line_dumps.append({
-                        "name": name,
-                        "pred_logits": got["pred_logits"][i],
-                        "pred_lines": got["pred_lines"][i],
-                        "extent": got["extent"][i],
-                    })
-                if save_line_dir is not None:
-                    import os
-                    from gwdepth_tpu.evaluation.line_metrics import softmax
-                    from gwdepth_tpu.utils.visualize import vis_pred_lines
-                    img = np.asarray(batch.images[i])
-                    h, w = img.shape[:2]
-                    scores = softmax(got["pred_logits"][i], -1)[:, 0]
-                    pred_px = got["pred_lines"][i][:, :4] \
-                        * np.array([w, h, w, h])
-                    gt = np.asarray(batch.lines[i][np.asarray(
-                        batch.line_mask[i])])
-                    gt_px = gt[:, :4] * np.array([w, h, w, h])
-                    vis_pred_lines(pred_px, scores, gt_px, img,
-                                   os.path.join(save_line_dir,
-                                                f"{name}.png"),
-                                   score_thresh=line_score_thresh)
+                line_dumps.append({
+                    "name": name,
+                    "pred_logits": res["pred_logits"][i],
+                    "pred_lines": res["pred_lines"][i],
+                    "extent": res["extent"][i],
+                    "_gt": (batch.lines[i], batch.line_mask[i],
+                            batch.images[i]) if save_line_dir else None,
+                })
+    # ONE host pull for everything accumulated (metric sums + any line
+    # dumps + GT needed for the overlay renders)
+    acc, line_dumps = jax.device_get((acc, line_dumps))
+
+    if save_line_dir is not None:
+        import os
+        from gwdepth_tpu.evaluation.line_metrics import softmax
+        from gwdepth_tpu.utils.visualize import vis_pred_lines
+        for d in line_dumps:
+            gt_lines, gt_mask, img = d.pop("_gt")
+            img = np.asarray(img)
+            h, w = img.shape[:2]
+            scores = softmax(np.asarray(d["pred_logits"]), -1)[:, 0]
+            pred_px = np.asarray(d["pred_lines"])[:, :4] \
+                * np.array([w, h, w, h])
+            gt_px = np.asarray(gt_lines)[np.asarray(gt_mask)][:, :4] \
+                * np.array([w, h, w, h])
+            vis_pred_lines(pred_px, scores, gt_px, img,
+                           os.path.join(save_line_dir, f"{d['name']}.png"),
+                           score_thresh=line_score_thresh)
+    for d in line_dumps:
+        d.pop("_gt", None)
+
     eval_losses = None
     if acc is not None:
-        acc = jax.device_get(acc)
         depth_sums = np.asarray(acc["depth_sums"], np.float64)
         confusion = np.asarray(acc["confusion"], np.float64)
         if "eval_losses" in acc:
