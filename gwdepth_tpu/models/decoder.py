@@ -50,7 +50,7 @@ class DensePrediction(nn.Module):
         dfuse = jnp.concatenate([feat, depth_pred4[..., None], depth_token],
                                 axis=-1)
         d = Mlp(dfuse.shape[-1], tC, name="depth_token_fuse")(dfuse)
-        d = nn.LayerNorm(name="norm_depth")(
+        d = nn.LayerNorm(epsilon=1e-5, name="norm_depth")(
             UpConv(tC, name="upconv1_depth")(d, mid_hw))
         d = nn.elu(nn.Conv(tC, (3, 3), padding=((1, 1), (1, 1)),
                            use_bias=False, kernel_init=XAVIER,
@@ -65,7 +65,7 @@ class DensePrediction(nn.Module):
 
         sfuse = jnp.concatenate([feat, seg_token], axis=-1)
         s = Mlp(sfuse.shape[-1], tC, name="seg_token_fuse")(sfuse)
-        s = nn.LayerNorm(name="norm_seg")(
+        s = nn.LayerNorm(epsilon=1e-5, name="norm_seg")(
             UpConv(tC, name="upconv1_seg")(s, mid_hw))
         s = nn.elu(nn.Conv(tC, (3, 3), padding=((1, 1), (1, 1)),
                            use_bias=False, kernel_init=XAVIER,

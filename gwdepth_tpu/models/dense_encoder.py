@@ -57,7 +57,7 @@ class MlpNorm(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.hidden, kernel_init=TRUNC02, name="fc1")(x)
         x = nn.Dense(self.out, kernel_init=TRUNC02, name="fc2")(x)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class DepthHead(nn.Module):

@@ -75,12 +75,12 @@ class EncoderLayer(nn.Module):
                                   self.dtype, name="self_attn")(
             qk, qk, src, key_valid, deterministic)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         src2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
         src2 = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(src2))
         src2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(src2)
         src = src + nn.Dropout(self.dropout, deterministic=deterministic)(src2)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -98,17 +98,17 @@ class DecoderLayer(nn.Module):
                                   self.dtype, name="self_attn")(
             qk, qk, tgt, None, deterministic)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         tgt2 = MultiheadAttention(self.d_model, self.nheads, self.dropout,
                                   self.dtype, name="multihead_attn")(
             tgt + query_pos, memory + pos, memory, key_valid, deterministic)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         tgt2 = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         tgt2 = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(tgt2))
         tgt2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(tgt2)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=deterministic)(tgt2)
-        return nn.LayerNorm(name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
 
 
 class DETRTransformer(nn.Module):
@@ -146,7 +146,7 @@ class DETRTransformer(nn.Module):
                                self.dtype, name=f"decoder_layer{i}")(
                 out, memory, pos, query_pos, key_valid, deterministic)
             inter.append(out)
-        norm = nn.LayerNorm(name="decoder_norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         hs = jnp.stack([norm(h) for h in inter], axis=0)
         return hs, memory
 

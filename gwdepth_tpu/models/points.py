@@ -154,7 +154,7 @@ class ConvLn(nn.Module):
                     padding=((pad, pad), (pad, pad)),
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False, kernel_init=XAVIER, name="conv")(x)
-        return nn.LayerNorm(name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
 
 
 class BasicBlock(nn.Module):

@@ -360,11 +360,11 @@ class SwinBlock(nn.Module):
 
         tC = self.token_dim
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if has_tokens:
             d_shortcut, s_shortcut = depth_token, seg_token
-            depth_token = nn.LayerNorm(name="norm_depth1")(depth_token)
-            seg_token = nn.LayerNorm(name="norm_seg1")(seg_token)
+            depth_token = nn.LayerNorm(epsilon=1e-5, name="norm_depth1")(depth_token)
+            seg_token = nn.LayerNorm(epsilon=1e-5, name="norm_seg1")(seg_token)
             # one pad/roll/partition for all three streams (op-count is the
             # measured TPU bottleneck, not FLOPs)
             x = jnp.concatenate([x, depth_token, seg_token], axis=-1)
@@ -423,17 +423,17 @@ class SwinBlock(nn.Module):
         out = from_windows(out)
         x = shortcut + out[..., :C]
         x = x + Mlp(int(C * self.mlp_ratio), C, name="mlp")(
-            nn.LayerNorm(name="norm2")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x))
 
         if has_tokens:
             depth_token = d_shortcut + out[..., C:C + tC]
             depth_token = depth_token + Mlp(
                 int(tC * self.mlp_ratio), tC,
-                name="mlp_depth")(nn.LayerNorm(name="norm_depth2")(depth_token))
+                name="mlp_depth")(nn.LayerNorm(epsilon=1e-5, name="norm_depth2")(depth_token))
             seg_token = s_shortcut + out[..., C + tC:]
             seg_token = seg_token + Mlp(
                 int(tC * self.mlp_ratio), tC,
-                name="mlp_seg")(nn.LayerNorm(name="norm_seg2")(seg_token))
+                name="mlp_seg")(nn.LayerNorm(epsilon=1e-5, name="norm_seg2")(seg_token))
             if self.token_fuse and ref_coords is not None:
                 # point-guided depth-token fusion, gated like the reference's
                 # `token_fuse and args.with_line` (multiscale_transformerr.py

@@ -10,15 +10,18 @@ import jax.numpy as jnp
 from gwdepth_tpu.config import tiny_test_config
 from gwdepth_tpu.models import GlassRGBD
 
+# Captured 2026-08-17 after pinning every LayerNorm to the torch epsilon
+# (1e-5; flax default is 1e-6) — the reference-parity harness showed the
+# flax default diverging 2x on the decoder's tiny-variance activations.
 EXPECTED_DEPTH_GRID = np.array([
-    [4.836102, 4.593762, 4.816437],
-    [5.026049, 5.515047, 5.254055],
-    [4.515782, 4.940884, 4.603303],
+    [4.911225, 4.944747, 5.030804],
+    [5.014697, 5.153501, 5.047322],
+    [4.847735, 4.883462, 4.689580],
 ])
 EXPECTED_LINES_00 = np.array(
-    [0.615190, 0.513975, 0.685503, 0.574854, 0.753531, 0.688725])
-EXPECTED_DEPTH_MEAN = 5.460592
-EXPECTED_SEG_MEAN = -0.034182
+    [0.615190, 0.513975, 0.685502, 0.574854, 0.753531, 0.688724])
+EXPECTED_DEPTH_MEAN = 5.154091
+EXPECTED_SEG_MEAN = -0.008449
 
 
 def test_forward_numerics_frozen():

@@ -1,0 +1,431 @@
+"""Numerical parity against the ACTUAL reference implementation.
+
+Unlike the torch-oracle tests (which restate the reference math by hand),
+these tests import the real code from /root/reference via
+tests/reference_harness.py, initialize the reference modules, bring the
+weights across through the production converter
+(gwdepth_tpu/convert/full_model.py), and require the JAX rebuild to
+reproduce the reference outputs numerically.  This makes the reference
+code itself the ground truth and independently validates the converter
+(VERDICT.md round-1 "Missing #1/#6").
+
+Covered subsystems (reference file:line):
+  * DETR transformer            src/models/transformer.py:47-61
+  * Hungarian matcher           src/models/matcher.py:29-82
+  * SetCriterion (+aux)         src/models/glassrgbd.py:133-358
+  * SiLog / Seg losses          src/models/glassrgbd.py:360-383
+  * DensePrediction decoder     src/models/dense_upsample.py:114-182
+  * CertainSample / PointBasedPred  src/models/points/points_sample.py:235-364
+  * ReferTransformer (4 scales) src/models/multiscale_transformerr.py:1025-1319
+  * full GlassRGBD.forward      src/models/glassrgbd.py:74-131
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from reference_harness import (get_ref, make_ref_args, state_dict_numpy,
+                               nchw, nhwc)
+from gwdepth_tpu.config import GWDepthConfig, tiny_test_config
+from gwdepth_tpu.convert.full_model import glassrgbd_torch_to_flax, coverage
+from gwdepth_tpu.convert.torch_weights import merge_params
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return get_ref()
+
+
+def _convert(prefix: str, module: torch.nn.Module, my_params):
+    """Reference module state dict -> my params via the production
+    converter, requiring 100% coverage of my param tree."""
+    state = {f"{prefix}.{k}": v for k, v in state_dict_numpy(module).items()}
+    overlay = glassrgbd_torch_to_flax(state)
+    for part in prefix.split("."):
+        overlay = overlay[part]
+    cov, total, missing = coverage(overlay, my_params)
+    assert cov == total, f"uncovered {len(missing)}/{total}: {missing[:10]}"
+    return merge_params(my_params, overlay)
+
+
+def _close(a, b, atol=2e-4, rtol=1e-3, msg=""):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=atol, rtol=rtol, err_msg=msg)
+
+
+# ---------------------------------------------------------------------------
+# DETR transformer
+# ---------------------------------------------------------------------------
+
+def test_detr_transformer_vs_reference(ref):
+    cfg = tiny_test_config()
+    args = make_ref_args(cfg)
+    torch.manual_seed(0)
+    rt = ref.transformer.build_transformer(args).eval()
+
+    B, C, h, w = 1, cfg.hidden_dim, 4, 6
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((B, C, h, w), dtype=np.float32)
+    pos = rng.standard_normal((B, C, h, w), dtype=np.float32)
+    qemb = rng.standard_normal((cfg.num_queries, C), dtype=np.float32)
+    # pad the last row (reference mask: True = padding)
+    mask = np.zeros((B, h, w), dtype=bool)
+    mask[:, -1, :] = True
+
+    with torch.no_grad():
+        hs_t, mem_t = rt(torch.from_numpy(src), torch.from_numpy(mask),
+                         torch.from_numpy(qemb), torch.from_numpy(pos))
+
+    from gwdepth_tpu.models.detr import DETRTransformer
+    m = DETRTransformer(cfg.hidden_dim, cfg.nheads, cfg.enc_layers,
+                        cfg.dec_layers, cfg.dim_feedforward, 0.0, jnp.float32)
+    seq = src.transpose(0, 2, 3, 1).reshape(B, h * w, C)
+    pos_seq = pos.transpose(0, 2, 3, 1).reshape(B, h * w, C)
+    valid = (~mask).reshape(B, h * w)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(seq),
+                    jnp.asarray(pos_seq), jnp.asarray(valid),
+                    jnp.asarray(qemb))["params"]
+    params = _convert("transformer", rt, params)
+    hs_j, mem_j = m.apply({"params": params}, jnp.asarray(seq),
+                          jnp.asarray(pos_seq), jnp.asarray(valid),
+                          jnp.asarray(qemb), deterministic=True)
+
+    # reference hs: (layers, B, Q, C); memory: (HW, B, C)
+    _close(hs_j, hs_t.numpy(), msg="decoder states")
+    _close(mem_j, mem_t.numpy().transpose(1, 0, 2), msg="encoder memory")
+
+
+# ---------------------------------------------------------------------------
+# Hungarian matcher
+# ---------------------------------------------------------------------------
+
+def test_matcher_vs_reference(ref):
+    cfg = tiny_test_config()
+    args = make_ref_args(cfg)
+    matcher = ref.matcher.build_matcher(args, type="origin_line")
+
+    rng = np.random.default_rng(7)
+    B, Q, D = 3, cfg.num_queries, 6
+    counts = [5, 1, 3]
+    logits = rng.standard_normal((B, Q, 2), dtype=np.float32)
+    lines = rng.random((B, Q, D), dtype=np.float32)
+    targets = [{"lines": torch.from_numpy(
+                    rng.random((n, D), dtype=np.float32)),
+                "labels": torch.zeros(n, dtype=torch.int64)}
+               for n in counts]
+    with torch.no_grad():
+        idx = matcher({"pred_logits": torch.from_numpy(logits),
+                       "pred_lines": torch.from_numpy(lines)}, targets)
+
+    from gwdepth_tpu.losses.criterion import build_match_cost
+    from gwdepth_tpu.ops.lap import match_lines
+    T = max(counts)
+    tgt = np.zeros((B, T, D), np.float32)
+    msk = np.zeros((B, T), bool)
+    for b, n in enumerate(counts):
+        tgt[b, :n] = targets[b]["lines"].numpy()
+        msk[b, :n] = True
+    cost = build_match_cost(jnp.asarray(logits), jnp.asarray(lines),
+                            jnp.asarray(tgt), cfg.set_cost_class,
+                            cfg.set_cost_line)
+    cost = jnp.where(jnp.asarray(msk)[:, None, :], cost, 0.0)
+    for b, n in enumerate(counts):
+        tgt2q = match_lines(cost[b], jnp.int32(n), "jax")
+        ref_map = np.zeros(T, np.int64)
+        i, j = idx[b]
+        ref_map[j.numpy()] = i.numpy()
+        np.testing.assert_array_equal(np.asarray(tgt2q)[:n], ref_map[:n],
+                                      err_msg=f"image {b}")
+
+
+# ---------------------------------------------------------------------------
+# SetCriterion + dense losses
+# ---------------------------------------------------------------------------
+
+def test_set_criterion_vs_reference(ref):
+    cfg = tiny_test_config()
+    args = make_ref_args(cfg)
+    torch.manual_seed(0)
+    _, crits, _ = ref.glassrgbd.build(args)
+    criterion = crits[0]
+
+    rng = np.random.default_rng(3)
+    B, Q, D = 2, cfg.num_queries, 6
+    counts = [4, 2]
+    n_layers = cfg.dec_layers
+    logits = rng.standard_normal((n_layers, B, Q, 2), dtype=np.float32)
+    lines = rng.random((n_layers, B, Q, D), dtype=np.float32)
+    targets = [{"lines": torch.from_numpy(
+                    rng.random((n, D), dtype=np.float32)),
+                "labels": torch.zeros(n, dtype=torch.int64)}
+               for n in counts]
+    out_t = {"pred_logits": torch.from_numpy(logits[-1]),
+             "pred_lines": torch.from_numpy(lines[-1]),
+             "aux_outputs": [{"pred_logits": torch.from_numpy(logits[i]),
+                              "pred_lines": torch.from_numpy(lines[i])}
+                             for i in range(n_layers - 1)]}
+    with torch.no_grad():
+        ref_losses = criterion(out_t, targets)
+
+    from gwdepth_tpu.losses.criterion import line_set_criterion
+    T = cfg.max_lines
+    tgt = np.zeros((B, T, D), np.float32)
+    msk = np.zeros((B, T), bool)
+    for b, n in enumerate(counts):
+        tgt[b, :n] = targets[b]["lines"].numpy()
+        msk[b, :n] = True
+    out_j = {"pred_logits": jnp.asarray(logits[-1]),
+             "pred_lines": jnp.asarray(lines[-1]),
+             "aux_outputs": [{"pred_logits": jnp.asarray(logits[i]),
+                              "pred_lines": jnp.asarray(lines[i])}
+                             for i in range(n_layers - 1)]}
+    my = line_set_criterion(out_j, jnp.asarray(tgt), jnp.asarray(msk),
+                            eos_coef=cfg.eos_coef,
+                            set_cost_class=cfg.set_cost_class,
+                            set_cost_line=cfg.set_cost_line)
+    for k in ref_losses:
+        assert k in my, f"missing loss {k}"
+        _close(my[k], ref_losses[k].numpy(), atol=1e-5, msg=k)
+
+
+def test_silog_seg_losses_vs_reference(ref):
+    cfg = tiny_test_config()
+    args = make_ref_args(cfg)
+    _, crits, _ = ref.glassrgbd.build(args)
+    crit_depth, crit_seg = crits[1], crits[2]
+
+    rng = np.random.default_rng(5)
+    B, H, W = 2, 16, 24
+    est = rng.random((B, H, W), dtype=np.float32) * 9 + 0.5
+    gt = rng.random((B, H, W), dtype=np.float32) * 9 + 0.5
+    mask = rng.random((B, H, W)) > 0.3
+    with torch.no_grad():
+        ref_silog = crit_depth(torch.from_numpy(est), torch.from_numpy(gt),
+                               torch.from_numpy(mask))
+    from gwdepth_tpu.losses.criterion import silog_loss, seg_ce_loss
+    _close(silog_loss(jnp.asarray(est), jnp.asarray(gt), jnp.asarray(mask),
+                      cfg.variance_focus),
+           ref_silog.numpy(), atol=1e-5, msg="silog")
+
+    seg_logits = rng.standard_normal((B, 2, H, W)).astype(np.float32)
+    seg_gt = (rng.random((B, H, W)) > 0.5).astype(np.int64)
+    with torch.no_grad():
+        ref_seg = crit_seg(torch.from_numpy(seg_logits),
+                           torch.from_numpy(seg_gt))
+    _close(seg_ce_loss(jnp.asarray(seg_logits), jnp.asarray(seg_gt)),
+           ref_seg.numpy(), atol=1e-6, msg="seg ce")
+
+# ---------------------------------------------------------------------------
+# DensePrediction decoder
+# ---------------------------------------------------------------------------
+
+def test_dense_decoder_vs_reference(ref):
+    cfg = tiny_test_config(class_token_dim=8)
+    args = make_ref_args(cfg)
+    torch.manual_seed(1)
+    C = 8  # 1/4-scale feature channels
+    rd = ref.dense_upsample.DensePrediction(
+        cfg.max_depth, [64, 128, 256, 512], num_features=C, args=args).eval()
+
+    rng = np.random.default_rng(11)
+    B, h, w = 1, 8, 12
+    feat = rng.standard_normal((B, h, w, C), dtype=np.float32)
+    d4 = rng.random((B, h, w), dtype=np.float32)
+    dtok = rng.standard_normal((B, h, w, cfg.class_token_dim),
+                               dtype=np.float32)
+    stok = rng.standard_normal((B, h, w, cfg.class_token_dim),
+                               dtype=np.float32)
+    out_hw = (4 * h, 4 * w)
+    with torch.no_grad():
+        depth_t, seg_t = rd(nchw(feat), torch.from_numpy(d4)[:, None],
+                            nchw(dtok), nchw(stok), out_hw)
+
+    from gwdepth_tpu.models.decoder import DensePrediction
+    m = DensePrediction(cfg.max_depth, cfg.class_token_dim)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(feat),
+                    jnp.asarray(d4), jnp.asarray(dtok), jnp.asarray(stok),
+                    out_hw)["params"]
+    params = _convert("depth_decoder", rd, params)
+    depth_j, seg_j = m.apply({"params": params}, jnp.asarray(feat),
+                             jnp.asarray(d4), jnp.asarray(dtok),
+                             jnp.asarray(stok), out_hw)
+    _close(depth_j, depth_t[:, 0].numpy(), msg="depth")
+    _close(seg_j, nhwc(seg_t), msg="seg logits")
+
+
+# ---------------------------------------------------------------------------
+# CertainSample / PointBasedPred
+# ---------------------------------------------------------------------------
+
+def test_certain_sample_vs_reference(ref):
+    cfg = tiny_test_config()
+    CS = ref.points_sample.CertainSample(
+        16, cfg.min_depth_eval, cfg.max_depth_eval,
+        sample_num=cfg.interval_sample_num[0])
+    rng = np.random.default_rng(13)
+    B, h, w, H, W = 2, 4, 6, 8, 12
+    small = rng.random((B, 1, h, w), dtype=np.float32)
+    large = rng.random((B, 1, H, W), dtype=np.float32)
+    with torch.no_grad():
+        coords_t = CS(torch.from_numpy(small), torch.from_numpy(large),
+                      list(cfg.depth_interval))
+
+    from gwdepth_tpu.models.points import certain_sample
+    coords_j = certain_sample(jnp.asarray(small[:, 0]),
+                              jnp.asarray(large[:, 0]),
+                              cfg.depth_interval, cfg.interval_sample_num[0],
+                              cfg.min_depth_eval / cfg.max_depth_eval)
+    _close(coords_j, coords_t.numpy(), atol=1e-6, msg="sampled coords")
+
+
+def test_point_based_pred_vs_reference(ref):
+    cfg = tiny_test_config(dense_trans_dim=32, class_token_dim=4)
+    dim, tC, S = 8, cfg.class_token_dim, cfg.interval_sample_num[0]
+    torch.manual_seed(2)
+    rp = ref.points_sample.PointBasedPred(dim, tC, [16, 8, 4, 2], S).eval()
+
+    # H, W >= pool_sizes[0]: the reference PyramidLayer zero-pads up to the
+    # largest pool and RETURNS the padded plane (points_sample.py:97-104 with
+    # no crop); at the real 1/8 eval scale (96x128) the pad never triggers,
+    # so parity is asserted in the unpadded regime (ours crops, theirs
+    # doesn't — identical whenever the pad is a no-op).
+    rng = np.random.default_rng(17)
+    B, H, W = 1, 16, 24
+    x = rng.standard_normal((B, H, W, dim), dtype=np.float32)
+    tok = rng.standard_normal((B, H, W, tC), dtype=np.float32)
+    pre = rng.random((B, 8, 12), dtype=np.float32)       # coarser depth map
+    coords = (rng.random((B, S, 1, 2), dtype=np.float32) * 2 - 1)
+    pos = rng.standard_normal((B, H, W, dim), dtype=np.float32)
+    with torch.no_grad():
+        pred_t = rp(torch.from_numpy(x.reshape(B, H * W, dim)),
+                    torch.from_numpy(tok.reshape(B, H * W, tC)),
+                    torch.from_numpy(pre)[:, None],
+                    torch.from_numpy(coords), H, W,
+                    pos_embedding=nchw(pos))
+
+    from gwdepth_tpu.models.points import PointBasedPred
+    m = PointBasedPred(dim, tC, (16, 8, 4, 2), S)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(tok),
+                    jnp.asarray(pre), jnp.asarray(coords),
+                    jnp.asarray(pos))["params"]
+    params = _convert("dense_encoder.point_based_pred1", rp, params)
+    pred_j = m.apply({"params": params}, jnp.asarray(x), jnp.asarray(tok),
+                     jnp.asarray(pre), jnp.asarray(coords), jnp.asarray(pos))
+    _close(pred_j, pred_t[:, 0].numpy(), msg="point-based depth")
+
+# ---------------------------------------------------------------------------
+# ReferTransformer (full 4-scale dense encoder)
+# ---------------------------------------------------------------------------
+
+def test_refer_transformer_vs_reference(ref):
+    # D//8 must equal class_token_dim (the reference reshapes the final
+    # tokens with C3 = D//8 channels, multiscale_transformerr.py:1303-1305 —
+    # it only runs at D=512/tC=64); canvas 128x192 keeps 1/8 >= the largest
+    # pyramid pool so the reference's pad-and-keep quirk stays dormant.
+    cfg = tiny_test_config(dense_trans_dim=32, class_token_dim=4,
+                           train_hw=(128, 192))
+    args = make_ref_args(cfg)
+    torch.manual_seed(3)
+    rt = ref.multiscale_transformerr.build_dense_transformer(args).eval()
+
+    rng = np.random.default_rng(19)
+    B, H, W = 1, *cfg.train_hw
+    sizes = [(H // 4, W // 4), (H // 8, W // 8), (H // 16, W // 16),
+             (H // 32, W // 32)]
+    chans = [256, 512, 1024, 2048]
+    pyr = [rng.standard_normal((B, *s, c), dtype=np.float32) * 0.5
+           for s, c in zip(sizes, chans)]
+    top = rng.standard_normal((B, *sizes[3], cfg.dense_trans_dim),
+                              dtype=np.float32) * 0.5
+    lines = rng.random((B, cfg.num_queries, 6), dtype=np.float32)
+    logits = rng.standard_normal((B, cfg.num_queries, 2), dtype=np.float32)
+
+    NT = ref.misc.NestedTensor
+    zmask = lambda s: torch.zeros((B, *s), dtype=torch.bool)
+    features = [NT(nchw(p), zmask(s)) for p, s in zip(pyr, sizes)]
+    layers_size = [sizes[2], sizes[1], sizes[0]]
+    with torch.no_grad():
+        outs_t, dtok_t, stok_t, _, dpreds_t = rt(
+            NT(nchw(top), zmask(sizes[3])), features,
+            torch.from_numpy(lines), torch.from_numpy(logits),
+            layers_size=layers_size, input_size=(H, W))
+
+    from gwdepth_tpu.models.dense_encoder import DenseEncoder
+    m = DenseEncoder(cfg)
+    masks = [jnp.ones((B, *s), dtype=bool) for s in sizes]
+    jargs = (jnp.asarray(top), [jnp.asarray(p) for p in pyr], masks,
+             jnp.asarray(lines), jnp.asarray(logits))
+    params = m.init(jax.random.PRNGKey(0), *jargs)["params"]
+    params = _convert("dense_encoder", rt, params)
+    feats_j, dtok_j, stok_j, dpreds_j = m.apply({"params": params}, *jargs)
+
+    for i, (fj, ft) in enumerate(zip(feats_j, outs_t)):
+        _close(fj, nhwc(ft), atol=5e-4, rtol=3e-3, msg=f"feat scale {i}")
+    for i, (dj, dt) in enumerate(zip(dpreds_j, dpreds_t)):
+        _close(dj, dt[:, 0].numpy(), atol=5e-4, rtol=3e-3,
+               msg=f"depth pred {i}")
+    _close(dtok_j, nhwc(dtok_t), atol=5e-4, rtol=3e-3, msg="depth token")
+    _close(stok_j, nhwc(stok_t), atol=5e-4, rtol=3e-3, msg="seg token")
+
+# ---------------------------------------------------------------------------
+# full model forward
+# ---------------------------------------------------------------------------
+
+def test_full_model_forward_vs_reference(ref):
+    # The reference hardcodes the dense stem at 512 channels
+    # (glassrgbd.py:69-70: hidden_dim=256, dense_input_proj -> hidden_dim*2)
+    # and its final token reshape requires D//8 == class_token_dim, so the
+    # full-forward check runs at the reference's real widths with reduced
+    # depths; 224x320 keeps every CertainSample quota satisfiable
+    # (1/16 -> 280 px >= 30 samples).  The backbone is the REAL reference
+    # build_backbone/FrozenBatchNorm2d/Joiner stack over the torchvision-
+    # naming stub ResNet (reference_harness._StubResNet).
+    cfg = GWDepthConfig(
+        enc_layers=2, dec_layers=2, dim_feedforward=256, num_queries=30,
+        dropout=0.0, dense_trans_layers=(2,), class_trans_layers=(1, 1, 1),
+        group_attention_layers=((False, False), (False, False),
+                                (False,)),
+        train_hw=(224, 320), eval_hw=(224, 320))
+    args = make_ref_args(cfg)
+    torch.manual_seed(4)
+    model_t, _, _ = ref.glassrgbd.build(args)
+    model_t.eval()
+
+    rng = np.random.default_rng(23)
+    B, H, W = 1, *cfg.train_hw
+    img = rng.standard_normal((B, H, W, 3), dtype=np.float32)
+    nt = ref.misc.NestedTensor(nchw(img),
+                               torch.zeros((B, H, W), dtype=torch.bool))
+    with torch.no_grad():
+        out_t = model_t(nt)
+
+    from gwdepth_tpu.models import GlassRGBD
+    m = GlassRGBD(cfg)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.zeros((B, H, W, 3)))["params"]
+    state = state_dict_numpy(model_t)
+    overlay = glassrgbd_torch_to_flax(state)
+    cov, total, missing = coverage(overlay, params)
+    assert cov == total, f"uncovered {len(missing)}/{total}: {missing[:10]}"
+    params = merge_params(params, overlay)
+    out_j = m.apply({"params": params}, jnp.asarray(img))
+
+    _close(out_j["pred_logits"], out_t["pred_logits"].numpy(),
+           atol=1e-3, rtol=1e-2, msg="pred_logits")
+    _close(out_j["pred_lines"], out_t["pred_lines"].numpy(),
+           atol=1e-3, rtol=1e-2, msg="pred_lines")
+    for i, (dj, dt) in enumerate(zip(out_j["pred_depth"],
+                                     out_t["pred_depth"])):
+        _close(dj, dt[:, 0].numpy(), atol=2e-3, rtol=1e-2,
+               msg=f"pred_depth[{i}]")
+    _close(out_j["pred_seg"], nhwc(out_t["pred_seg"]),
+           atol=2e-3, rtol=1e-2, msg="pred_seg")
+    for i, aux in enumerate(out_j.get("aux_outputs", [])):
+        _close(aux["pred_logits"],
+               out_t["aux_outputs"][i]["pred_logits"].numpy(),
+               atol=1e-3, rtol=1e-2, msg=f"aux logits {i}")
