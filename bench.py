@@ -21,10 +21,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-# same eval-path forward on the host CPU, batch 1 @ 768x1024, measured via
-# bench_baseline.py on 2026-08-16 (reference torch stack not installable
-# here; architecture-identical stand-in — see bench_baseline.py docstring)
-CPU_BASELINE_IMAGES_PER_SEC = 0.08
+# The ACTUAL reference PyTorch model (imported from /root/reference via
+# tests/reference_harness.py — real glassrgbd.py forward), batch 1 @
+# 768x1024, torch eager on this host's CPU, median of 4 runs at 14.27
+# s/image (spread 13.8-14.7); measured 2026-08-17 via bench_baseline.py.
+CPU_BASELINE_IMAGES_PER_SEC = 0.0701
 
 
 def main():

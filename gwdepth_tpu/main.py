@@ -91,6 +91,11 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
         from gwdepth_tpu.config import tiny_test_config
         return tiny_test_config(
             with_line=args.with_line or True, with_dense=True,
+            position_embedding=args.position_embedding,
+            with_reflection=args.with_reflection,
+            with_dense_center=args.with_dense_center,
+            with_line_depth=args.with_line_depth,
+            with_plane_norm_loss=args.with_plane_norm_loss,
             batch_size=args.batch_size, epochs=args.epochs,
             data_path=args.data_path, gt_depth_path=args.gt_depth_path,
             gt_seg_path=args.gt_seg_path, gt_line_path=args.gt_line_path,

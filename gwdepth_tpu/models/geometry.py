@@ -30,7 +30,7 @@ defaults in geometry_utils.py:222,308,637).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -111,12 +111,14 @@ class PointGuidedTokenFuse(nn.Module):
             dtx.reshape(B, H, W, tC), refer_coords,
             token_pos if with_pos else None)               # (B, L*P, tC)
 
+        # two-layer Mlps, as the reference builds them
+        # (geometry_utils.py:544-545: Mlp(tC, out=2tC) / Mlp(tC, out=tC))
         q_seg = nn.LayerNorm(epsilon=1e-5, name="norm_seg")(
-            nn.Dense(tC, kernel_init=TRUNC02, name="q_seg")(stx))
+            Mlp(tC, tC, name="q_seg")(stx))
         q_seg = q_seg * (tC ** -0.5)
 
         mlpctx = Mlp(tC * 4, tC, name="mlpctx")
-        kv_refer = nn.Dense(2 * tC, kernel_init=TRUNC02, name="kv_refer_depth")
+        kv_refer = Mlp(tC, 2 * tC, name="kv_refer_depth")
         fuse_proj = nn.Dense(tC, kernel_init=TRUNC02, name="fuse_proj")
         norm_fuse = nn.LayerNorm(epsilon=1e-5, name="norm_fuse")
         fused_depth_proj = nn.Dense(tC, kernel_init=TRUNC02,
@@ -186,13 +188,13 @@ class TokenFuse(nn.Module):
         dproj = Mlp(tC, tC, name="depth_proj")(_flatten_hw(depth_token))
         refer_depth = _sample_points(dproj.reshape(B, H, W, tC), refer_coords,
                                      token_pos if with_pos else None)
-        kv = nn.Dense(2 * tC, kernel_init=TRUNC02,
-                      name="kv_refer_depth")(refer_depth)
+        # two-layer Mlps matching the reference (geometry_utils.py:191-193)
+        kv = Mlp(tC, 2 * tC, name="kv_refer_depth")(refer_depth)
         k, v = kv[..., :tC], kv[..., tC:]
 
         seg_rel = Mlp(tC, tC, name="seg_proj")(_flatten_hw(seg_token))
         q = nn.LayerNorm(epsilon=1e-5, name="norm_geometry")(
-            nn.Dense(tC, kernel_init=TRUNC02, name="q_seg_geometry")(seg_rel))
+            Mlp(tC, tC, name="q_seg_geometry")(seg_rel))
         attn = jnp.einsum("bnc,bmc->bnm", q, k,
                           preferred_element_type=jnp.float32) * (tC ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)

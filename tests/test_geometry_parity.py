@@ -161,10 +161,10 @@ def test_token_fuse_matches_torch():
         dproj = mlp(dflat, p["depth_proj"])
         dmap = dproj.reshape(B, H, W, tC).permute(0, 3, 1, 2)
         refer = sample_pts(dmap, ref, t(pos).permute(0, 3, 1, 2))
-        kv = lin(refer, p["kv_refer_depth"])
+        kv = mlp(refer, p["kv_refer_depth"])
         k, v = kv[..., :tC], kv[..., tC:]
         srel = mlp(t(st).reshape(B, H * W, tC), p["seg_proj"])
-        q = ln(lin(srel, p["q_seg_geometry"]), p["norm_geometry"])
+        q = ln(mlp(srel, p["q_seg_geometry"]), p["norm_geometry"])
         attn = torch.softmax(q @ k.transpose(1, 2) * tC ** -0.5, dim=-1)
         fused = ln(attn @ v, p["norm_fuse"])
         fused = lin(fused, p["fused_depth_proj"])
@@ -186,7 +186,7 @@ def torch_pgtf(x, st, dt, ref, pos, p, tC, ks_list):
     dtx = mlp(dtf, p["xdth_proj"])
     dmap = dtx.reshape(B, H, W, tC).permute(0, 3, 1, 2)
     refer_depth = sample_pts(dmap, ref, t(pos).permute(0, 3, 1, 2))
-    q_seg = ln(lin(stx, p["q_seg"]), p["norm_seg"]) * tC ** -0.5
+    q_seg = ln(mlp(stx, p["q_seg"]), p["norm_seg"]) * tC ** -0.5
 
     def conv_process(y):
         y = conva(y, p["convctx_pre3_0"]["conv"], pad=1)
@@ -210,7 +210,7 @@ def torch_pgtf(x, st, dt, ref, pos, p, tC, ks_list):
         pooled = TF.avg_pool2d(dpad, k, stride=s)
         ctx = conv_process(pooled).flatten(2).permute(0, 2, 1)
         ctx1 = mlp(torch.cat([ctx, refer_depth], dim=1), p["mlpctx"])
-        kv = lin(ctx1, p["kv_refer_depth"])
+        kv = mlp(ctx1, p["kv_refer_depth"])
         kk, vv = kv[..., :tC], kv[..., tC:]
         attn = torch.softmax(q_seg @ kk.transpose(1, 2), dim=-1)
         fused = lin(attn @ vv, p["fuse_proj"])
