@@ -212,7 +212,8 @@ class Loader:
 
     def __init__(self, dataset: GlassRGBDDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, num_workers: int = 4):
+                 prefetch: int = 2, num_workers: int = 4,
+                 pad_to_batch: bool = False):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -220,6 +221,11 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_workers = num_workers
+        # pad a short final batch with all-invalid dummy images so every
+        # batch has a static shape (required for jit and mesh sharding);
+        # padded entries carry an all-False validity mask, which every eval
+        # accumulator treats as "not an image" (train_step.py img_ok)
+        self.pad_to_batch = pad_to_batch
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -253,8 +259,14 @@ class Loader:
                         bi += 1
                     fs = pending.popleft()
                     samples = [f.result() for f in fs]
-                    q.put((make_batch(samples),
-                           [s["name"] for s in samples]))
+                    names = [s["name"] for s in samples]
+                    if self.pad_to_batch and len(samples) < self.bs:
+                        pad = {k: np.zeros_like(v) for k, v in
+                               samples[0].items()
+                               if isinstance(v, np.ndarray)}
+                        pad["name"] = ""
+                        samples += [pad] * (self.bs - len(samples))
+                    q.put((make_batch(samples), names))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

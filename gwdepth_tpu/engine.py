@@ -123,7 +123,7 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
                    "confusion": res["confusion"]}
             if "eval_losses" in res:
                 cur["eval_losses"] = res["eval_losses"]
-                cur["eval_loss_count"] = jnp.ones(())
+                cur["eval_loss_count"] = res["eval_loss_count"]
             acc = cur if acc is None else add(acc, cur)
         if save_dense_dir is not None and "pred_depth_full" in res:
             import os

@@ -68,6 +68,7 @@ def build_argparser() -> argparse.ArgumentParser:
                  "coco_ann_val"):
         p.add_argument(f"--{name}", type=str, default="")
     p.add_argument("--save_freq", type=int, default=25)
+    p.add_argument("--eval_batch_size", type=int, default=1)
     p.add_argument("--eval_freq", type=int, default=1)
     p.add_argument("--matcher", type=str, default="jax",
                    choices=("jax", "scipy"))
@@ -188,8 +189,12 @@ def main(argv=None):
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
 
     eval_ds = build_dataset("val")
-    eval_loader = Loader(eval_ds, batch_size=1, shuffle=False,
-                         drop_last=False)
+    # reference evaluates at batch 1 (main_glassrgbd.py:92-97); batch > 1
+    # pads the final batch with all-invalid images that the accumulators
+    # ignore, keeping metric sums exact
+    eval_loader = Loader(eval_ds, batch_size=args.eval_batch_size,
+                         shuffle=False, drop_last=False,
+                         pad_to_batch=args.eval_batch_size > 1)
     eval_step = make_eval_step(cfg, model, mesh,
                                return_dense=args.save_dense)
 

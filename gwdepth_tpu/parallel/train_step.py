@@ -179,22 +179,35 @@ def make_eval_step(cfg: GWDepthConfig, model,
     def step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
         outputs = model.apply({"params": params}, batch.images, batch.valid)
         res: Dict[str, jnp.ndarray] = {}
+        # all-invalid images are batch padding (Loader pad_to_batch) and
+        # must not contribute to any accumulator
+        img_ok = batch.valid.any(axis=(1, 2))
         if cfg.with_line:
             # eval-time line losses, logged like the reference
-            # (engine_glassrgbd.py:220-229)
-            ld = line_set_criterion(
-                {"pred_logits": outputs["pred_logits"],
-                 "pred_lines": outputs["pred_lines"]},
-                batch.lines, batch.line_mask,
-                eos_coef=cfg.eos_coef, set_cost_class=cfg.set_cost_class,
-                set_cost_line=cfg.set_cost_line,
-                matcher_backend=cfg.matcher)
-            res["eval_losses"] = jnp.stack(
-                [ld["loss_ce"], ld["loss_line"], ld["cardinality_error"]])
+            # (engine_glassrgbd.py:220-229). Computed PER IMAGE then summed
+            # over real images: the reference evaluates at batch 1, so
+            # per-image normalization is its exact semantics, and batch
+            # padding drops out cleanly.
+            def one(logits, lines, tgt, msk):
+                ld = line_set_criterion(
+                    {"pred_logits": logits[None], "pred_lines": lines[None]},
+                    tgt[None], msk[None],
+                    eos_coef=cfg.eos_coef, set_cost_class=cfg.set_cost_class,
+                    set_cost_line=cfg.set_cost_line,
+                    matcher_backend=cfg.matcher)
+                return jnp.stack([ld["loss_ce"], ld["loss_line"],
+                                  ld["cardinality_error"]])
+            per_img = jax.vmap(one)(outputs["pred_logits"],
+                                    outputs["pred_lines"],
+                                    batch.lines, batch.line_mask)   # (B, 3)
+            res["eval_losses"] = (per_img
+                                  * img_ok[:, None].astype(jnp.float32)).sum(0)
+            res["eval_loss_count"] = img_ok.sum().astype(jnp.float32)
         if cfg.with_dense:
             depth = outputs["pred_depth"][-1]
             gt_valid = (batch.depth > cfg.min_depth_eval) & \
-                       (batch.depth < cfg.max_depth_eval) & batch.valid
+                       (batch.depth < cfg.max_depth_eval) & batch.valid \
+                       & img_ok[:, None, None]
             res["depth_sums"] = depth_error_sums(
                 depth, batch.depth, gt_valid,
                 cfg.min_depth_eval, cfg.max_depth_eval)
@@ -216,7 +229,11 @@ def make_eval_step(cfg: GWDepthConfig, model,
 
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(step)
+    # shard the eval batch over `data` like the train step; the reduced
+    # accumulators (depth_sums / confusion / eval_losses) come back
+    # replicated, per-image line outputs stay batch-sharded
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(step, in_shardings=(None, data))
 
 
 def summarize_depth(depth_sums: jnp.ndarray) -> Dict[str, float]:

@@ -148,3 +148,44 @@ def test_line_only_config_paths():
     estep = make_eval_step(cfg, model)
     res = estep(state.params, batch)
     assert "depth_sums" not in res and "pred_lines" in res
+
+
+def test_sharded_eval_step_with_batch_padding(harness):
+    """Mesh-sharded eval at batch 8 where the last 3 entries are all-invalid
+    padding (Loader pad_to_batch) must reproduce the unpadded 5-image
+    accumulators exactly — padding contributes nothing to depth sums,
+    confusion, or the per-image eval losses."""
+    cfg, model, batch, params = harness
+    from gwdepth_tpu.data.batch import Batch
+    keep = 5
+
+    def zero_tail(x):
+        return jnp.concatenate(
+            [x[:keep], jnp.zeros_like(x[keep:])], axis=0)
+
+    padded = Batch(images=zero_tail(batch.images),
+                   valid=zero_tail(batch.valid),
+                   depth=zero_tail(batch.depth),
+                   seg=zero_tail(batch.seg),
+                   lines=zero_tail(batch.lines),
+                   line_mask=zero_tail(batch.line_mask))
+
+    mesh = make_mesh((-1,), ("data",))
+    estep_mesh = make_eval_step(cfg, model, mesh)
+    with mesh:
+        res_pad = estep_mesh(params, padded)
+
+    sub = jax.tree.map(lambda x: x[:keep], batch)
+    estep = make_eval_step(cfg, model)
+    res_ref = estep(params, sub)
+
+    assert int(res_pad["depth_sums"][9]) == keep
+    np.testing.assert_allclose(np.asarray(res_pad["depth_sums"]),
+                               np.asarray(res_ref["depth_sums"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res_pad["confusion"]),
+                                  np.asarray(res_ref["confusion"]))
+    np.testing.assert_allclose(np.asarray(res_pad["eval_losses"]),
+                               np.asarray(res_ref["eval_losses"]),
+                               rtol=1e-4, atol=1e-5)
+    assert float(res_pad["eval_loss_count"]) == keep
