@@ -203,6 +203,34 @@ def dump_benchmark_npz(out_dir: str, name: str, pred_logits: np.ndarray,
              lines=ln[idx], score=scores[idx])
 
 
+def dump_gt_lines(dataset, out_dir: str) -> int:
+    """Write the GT `lpos` npz files the offline sAP/F-score drivers consume
+    (reference: src/datasets/glassrgbd_norhint.py:306-330 `loadertest`):
+    per image, eval-transformed line endpoints normalized to [0,1] over the
+    image, scaled onto the 128 grid, reshaped (N, 2, 2) and flipped to
+    (y, x) point order; keys {lpos, file_name, image_id}.  Returns the
+    number of files written.
+
+    (The reference script builds mode='train' with val transforms and
+    saves under lines_npz/eval — here the caller picks the split by
+    passing the matching dataset.)"""
+    from gwdepth_tpu.data.transforms import eval_transform
+
+    os.makedirs(out_dir, exist_ok=True)
+    name_to_id = {v: k for k, v in getattr(dataset, "id_to_img", {}).items()}
+    n = 0
+    for idx in range(len(dataset)):
+        s, name = dataset.load_raw(idx)
+        s = eval_transform(s, dataset.cfg.eval_hw)
+        ln = np.asarray(s.lines, np.float64) * 128.0          # (N, 4) xyxy
+        lpos = ln.reshape(-1, 2, 2)[:, :, ::-1]               # -> yx points
+        np.savez(os.path.join(out_dir, f"{name}.npz"),
+                 lpos=lpos, file_name=name,
+                 image_id=name_to_id.get(name, idx))
+        n += 1
+    return n
+
+
 # ---------------------------------------------------------------------------
 # overlap-aware line NMS (eval_post_online.py:22-91)
 # ---------------------------------------------------------------------------

@@ -50,7 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
                  "with_dense_center", "with_line_depth",
                  "aux_loss_off", "eval",
                  "log_depth_error", "bf16", "benchmark", "save_dense",
-                 "save_line"):
+                 "save_line", "dump_gt_lines"):
         p.add_argument(f"--{gate}", action="store_true")
     # focal label loss (reference: src/args.py:69-71, stage-2 focal recipes)
     p.add_argument("--label_loss_func", type=str, default="cross_entropy",
@@ -228,6 +228,16 @@ def main(argv=None):
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params, devices: "
           f"{jax.device_count()}, mesh: {mesh.shape}")
+
+    if args.dump_gt_lines:
+        # GT `lpos` npz for the offline sAP/F-score drivers
+        # (reference: src/datasets/glassrgbd_norhint.py:306-330)
+        from gwdepth_tpu.evaluation import dump_gt_lines
+        gt_dir = os.path.join(out_dir, "lines_npz", "eval")
+        n = dump_gt_lines(eval_ds, gt_dir)
+        print(f"GT line npz dumps ({n} images) -> {gt_dir}")
+        if not args.eval:
+            return {"gt_lines_dumped": n}
 
     if args.eval:
         state = create_train_state(cfg, params)
