@@ -50,7 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
                  "with_dense_center", "with_line_depth",
                  "aux_loss_off", "eval",
                  "log_depth_error", "bf16", "benchmark", "save_dense",
-                 "save_line", "dump_gt_lines"):
+                 "save_line", "dump_gt_lines", "no_opt"):
         p.add_argument(f"--{gate}", action="store_true")
     # focal label loss (reference: src/args.py:69-71, stage-2 focal recipes)
     p.add_argument("--label_loss_func", type=str, default="cross_entropy",
@@ -64,8 +64,8 @@ def build_argparser() -> argparse.ArgumentParser:
     for name in ("data_path", "gt_depth_path", "gt_seg_path", "gt_line_path",
                  "filenames_file_train", "filenames_file_eval",
                  "glassrgbd_images_json", "output_dir", "resume",
-                 "torch_init", "coco_path", "coco_ann_train",
-                 "coco_ann_val"):
+                 "torch_init", "frozen_weights", "coco_path",
+                 "coco_ann_train", "coco_ann_val"):
         p.add_argument(f"--{name}", type=str, default="")
     p.add_argument("--save_freq", type=int, default=25)
     p.add_argument("--eval_batch_size", type=int, default=1)
@@ -152,6 +152,53 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
     )
 
 
+def resolve_checkpoint_path(path_or_url: str) -> str:
+    """Local path, or a URL resolved through the torch-hub checkpoint cache
+    ($TORCH_HOME/hub/checkpoints, default ~/.cache/torch) — downloading via
+    torch.hub only when the cached copy is absent (reference warm start:
+    main_glassrgbd.py:107-111 torch.hub.load_state_dict_from_url)."""
+    if not path_or_url.startswith(("http://", "https://")):
+        return path_or_url
+    fname = path_or_url.rsplit("/", 1)[-1].split("?")[0]
+    home = os.environ.get(
+        "TORCH_HOME", os.path.expanduser("~/.cache/torch"))
+    cached = os.path.join(home, "hub", "checkpoints", fname)
+    if os.path.exists(cached):
+        print(f"using cached checkpoint {cached}")
+        return cached
+    import torch.hub
+    torch.hub.load_state_dict_from_url(path_or_url, map_location="cpu",
+                                       check_hash=True)
+    return cached
+
+
+def load_frozen_weights(params, path: str):
+    """Partial warm start for two-stage training: only the transformer /
+    dense encoder-decoder / class + line heads come across, never the
+    backbone or input projections (reference main_glassrgbd.py:165-191
+    loads the 'encoder', 'decoder', 'class_embed', 'lines_embed' substring
+    groups; 'encoder'/'decoder' also match dense_encoder and depth_decoder
+    there — semantics preserved)."""
+    import jax
+    import jax.numpy as jnp
+    import torch as _torch
+    from gwdepth_tpu.convert.torch_weights import merge_params
+    from gwdepth_tpu.convert.full_model import glassrgbd_torch_to_flax
+    fsd = _torch.load(path, map_location="cpu", weights_only=False)
+    fsd = fsd.get("model", fsd)
+    fsd = {k: (v.numpy() if hasattr(v, "numpy") else v)
+           for k, v in fsd.items()}
+    keep = ("encoder", "decoder", "class_embed", "lines_embed",
+            "bbox_embed")
+    fsd = {k: v for k, v in fsd.items() if any(t in k for t in keep)}
+    overlay = glassrgbd_torch_to_flax(fsd)
+    params = jax.tree.map(jnp.asarray, merge_params(params, overlay))
+    print(f"frozen_weights from {path}: "
+          f"{len(jax.tree.leaves(overlay))} tensors loaded "
+          "(encoder/decoder/heads only)")
+    return params
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args)
@@ -201,11 +248,17 @@ def main(argv=None):
     import jax.numpy as jnp
     init_imgs = jnp.zeros((1, *cfg.train_hw, 3), jnp.float32)
     params = jax.jit(model.init)(rng, init_imgs)["params"]
+    # resume and frozen_weights are mutually exclusive, as in the
+    # reference (main_glassrgbd.py:104-105)
+    assert not (args.resume and args.frozen_weights), \
+        "--resume and --frozen_weights are mutually exclusive"
     if args.torch_init:
         # DETR-R50 / torchvision warm start (reference downloads
         # detr-r50-e632da11.pth and loads non-strict,
-        # main_glassrgbd.py:107-127)
+        # main_glassrgbd.py:107-127). URLs resolve through the torch-hub
+        # cache directory first, downloading only when absent.
         import torch as _torch
+        args.torch_init = resolve_checkpoint_path(args.torch_init)
         from gwdepth_tpu.convert.torch_weights import (
             detr_torch_to_flax, merge_params)
         from gwdepth_tpu.convert.full_model import glassrgbd_torch_to_flax
@@ -225,6 +278,9 @@ def main(argv=None):
         params = jax.tree.map(jnp.asarray, merge_params(params, overlay))
         print(f"{kind} from {args.torch_init}: "
               f"{len(jax.tree.leaves(overlay))} tensors converted")
+    if args.frozen_weights:
+        params = load_frozen_weights(
+            params, resolve_checkpoint_path(args.frozen_weights))
     n_params = sum(p.size for p in jax.tree.leaves(params))
     print(f"model: {n_params / 1e6:.1f}M params, devices: "
           f"{jax.device_count()}, mesh: {mesh.shape}")
@@ -284,8 +340,11 @@ def main(argv=None):
     train_step = make_train_step(cfg, model, mesh)
     ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"),
                              save_freq_epochs=args.save_freq)
-    state, start_epoch = (ckpt.restore(state) if args.resume
-                          else (state, 0))
+    # --no_opt: weights only, fresh optimizer/epoch (reference
+    # main_glassrgbd.py:160-164); the new --lr_drop always applies because
+    # the LR schedule is rebuilt from the current config
+    state, start_epoch = (ckpt.restore(state, params_only=args.no_opt)
+                          if args.resume else (state, 0))
 
     print("Start training")
     t0 = time.time()

@@ -52,8 +52,16 @@ class CheckpointManager:
                 meta=ocp.args.JsonSave(metadata)),
             force=force)
 
-    def restore(self, state, epoch: Optional[int] = None):
-        """Restore into the structure of `state`; returns (state, epoch)."""
+    def restore(self, state, epoch: Optional[int] = None,
+                params_only: bool = False):
+        """Restore into the structure of `state`; returns (state, epoch).
+
+        `params_only` mirrors the reference's `--no_opt` resume
+        (main_glassrgbd.py:160-164): weights come back but the optimizer,
+        step counter, and start epoch stay fresh.  (The reference's
+        companion lr_drop override needs no code here: our LR schedule is
+        rebuilt from the CURRENT config every run, so a resumed run always
+        follows the new --lr_drop.)"""
         import orbax.checkpoint as ocp
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
@@ -65,6 +73,8 @@ class CheckpointManager:
             args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(template),
                 meta=ocp.args.JsonRestore()))
+        if params_only:
+            return state.replace(params=restored["state"]["params"]), 0
         new_state = state.replace(params=restored["state"]["params"],
                                   opt_state=restored["state"]["opt_state"],
                                   step=restored["state"]["step"])

@@ -50,3 +50,43 @@ def test_restore_empty_dir_returns_epoch0(tmp_path):
     assert epoch == 0
     np.testing.assert_allclose(np.asarray(same.params["w"]), 1.0)
     mgr.close()
+
+
+def test_restore_params_only_no_opt(tmp_path):
+    """--no_opt semantics (reference main_glassrgbd.py:160-164): weights
+    restored, optimizer state / step counter / start epoch stay fresh."""
+    cfg = tiny_test_config()
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    state = create_train_state(cfg, params, steps_per_epoch=10)
+    state = state.replace(step=state.step + 7,
+                          params={"w": state.params["w"] + 5.0})
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, state, cfg)
+    mgr.wait()
+
+    fresh = create_train_state(
+        cfg, {"w": jnp.zeros((2, 3))}, steps_per_epoch=10)
+    restored, epoch = mgr.restore(fresh, params_only=True)
+    assert epoch == 0                       # train from epoch 0
+    assert int(restored.step) == 0          # fresh step counter
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               np.arange(6.0).reshape(2, 3) + 5.0)
+    # optimizer state untouched (fresh zeros moments)
+    for leaf in jax.tree.leaves(restored.opt_state):
+        if hasattr(leaf, "shape") and leaf.shape == (2, 3):
+            np.testing.assert_allclose(np.asarray(leaf), 0.0)
+    mgr.close()
+
+
+def test_resume_lr_drop_override(tmp_path):
+    """The reference overrides the restored scheduler's step_size with the
+    CURRENT --lr_drop (main_glassrgbd.py:162-163). Our schedule is rebuilt
+    from the config each run, so a resumed state at step N follows the new
+    lr_drop boundary immediately."""
+    from gwdepth_tpu.parallel.train_state import make_lr_schedule
+    spe = 10
+    old_sched = make_lr_schedule(1e-4, spe, 200)
+    new_sched = make_lr_schedule(1e-4, spe, 2)   # resumed run's new lr_drop
+    step = 5 * spe                           # epoch 5
+    assert float(old_sched(step)) == pytest.approx(1e-4)
+    assert float(new_sched(step)) == pytest.approx(1e-6)  # 5//2 = 2 drops

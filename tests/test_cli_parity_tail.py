@@ -1,0 +1,86 @@
+"""CLI parity tail (VERDICT round-1 Missing #4): --frozen_weights partial
+load and URL-checkpoint cache resolution, matching reference
+src/main_glassrgbd.py:107-191."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from gwdepth_tpu.config import tiny_test_config
+from gwdepth_tpu.models import GlassRGBD
+from test_full_convert import _ref_key, _to_torch_layout
+
+
+def _reference_state(params):
+    state = {}
+    for kp, val in jax.tree_util.tree_flatten_with_path(params)[0]:
+        path = tuple(k.key for k in kp)
+        state[_ref_key(path)] = torch.from_numpy(
+            np.ascontiguousarray(_to_torch_layout(path, np.asarray(val))))
+    return state
+
+
+def test_load_frozen_weights_partial(tmp_path):
+    """Only encoder/decoder/class_embed/lines_embed substring groups load;
+    backbone, input projections, and query embeddings stay at init
+    (reference main_glassrgbd.py:165-191)."""
+    from gwdepth_tpu.main import load_frozen_weights
+    cfg = tiny_test_config()
+    model = GlassRGBD(cfg)
+    donor = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(7),
+                               jnp.zeros((1, *cfg.train_hw, 3)))["params"])
+    ck = tmp_path / "stage1.pth"
+    torch.save({"model": _reference_state(donor)}, ck)
+
+    base = jax.tree.map(
+        np.asarray, model.init(jax.random.PRNGKey(8),
+                               jnp.zeros((1, *cfg.train_hw, 3)))["params"])
+    merged = load_frozen_weights(jax.tree.map(jnp.asarray, base), str(ck))
+
+    def leaf(tree, *path):
+        for k in path:
+            tree = tree[k]
+        return np.asarray(tree)
+
+    # loaded groups carry the donor values
+    np.testing.assert_allclose(
+        leaf(merged, "transformer", "encoder_layer0", "linear1", "kernel"),
+        leaf(donor, "transformer", "encoder_layer0", "linear1", "kernel"))
+    np.testing.assert_allclose(leaf(merged, "class_embed", "kernel"),
+                               leaf(donor, "class_embed", "kernel"))
+    np.testing.assert_allclose(
+        leaf(merged, "lines_embed", "layer0", "kernel"),
+        leaf(donor, "lines_embed", "layer0", "kernel"))
+    # 'encoder'/'decoder' substrings also bring the dense branch across,
+    # matching the reference's substring filter
+    np.testing.assert_allclose(
+        leaf(merged, "dense_encoder", "proj_class1", "kernel"),
+        leaf(donor, "dense_encoder", "proj_class1", "kernel"))
+    # untouched groups keep the fresh init
+    np.testing.assert_allclose(leaf(merged, "backbone", "conv1", "kernel"),
+                               leaf(base, "backbone", "conv1", "kernel"))
+    np.testing.assert_allclose(leaf(merged, "input_proj", "kernel"),
+                               leaf(base, "input_proj", "kernel"))
+    np.testing.assert_allclose(leaf(merged, "query_embed"),
+                               leaf(base, "query_embed"))
+    assert not np.allclose(leaf(merged, "backbone", "conv1", "kernel"),
+                           leaf(donor, "backbone", "conv1", "kernel"))
+
+
+def test_resolve_checkpoint_path(tmp_path, monkeypatch):
+    from gwdepth_tpu.main import resolve_checkpoint_path
+    # plain paths pass through
+    assert resolve_checkpoint_path("/x/y.pth") == "/x/y.pth"
+    # cached URL resolves without any network touch
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+    cache = tmp_path / "hub" / "checkpoints"
+    os.makedirs(cache)
+    (cache / "detr-r50-e632da11.pth").write_bytes(b"x")
+    url = "https://dl.fbaipublicfiles.com/detr/detr-r50-e632da11.pth"
+    assert resolve_checkpoint_path(url) == str(cache /
+                                               "detr-r50-e632da11.pth")
