@@ -332,7 +332,33 @@ def train_transform(s: Sample, rng: random.Random,
 
 
 def eval_transform(s: Sample, canvas_hw: Tuple[int, int],
-                   test_size: int = 1024, max_size: int = 1024) -> Sample:
+                   test_size: int = 1024, max_size: int = 1024,
+                   strict_protocol: bool = True) -> Sample:
+    """Eval protocol: long side resized to `test_size`
+    (reference: src/datasets/coco.py:84-91), fitted onto the static canvas.
+
+    The reference imposes no orientation constraint, so a PORTRAIT image
+    resized to 1024-tall would silently shrink below protocol on a
+    768x1024 canvas; `strict_protocol` turns that silent violation into a
+    loud error (pick --eval_h/--eval_w that hold the resized image).
+    GW-Depth itself is all-landscape (1280x720 captures), so real data
+    never trips this. predict.py passes strict_protocol=False: arbitrary
+    inference inputs may be any orientation, and best-effort fitting is
+    the desired behavior there."""
     s = resize(s, test_size, max_size)
+    if strict_protocol:
+        w, h = s.image.size
+        ch, cw = canvas_hw
+        # flag only ORIENTATION-induced violations: a small canvas with a
+        # matching orientation (tiny/toy configs) is a deliberate scale-down,
+        # but a portrait image on a landscape canvas silently breaks the
+        # protocol no matter how large the canvas is
+        if (h > ch or w > cw) and (h > w) != (ch > cw):
+            raise ValueError(
+                f"eval canvas (h, w)={canvas_hw} cannot hold the "
+                f"protocol-resized image (h, w)=({h}, {w}) — portrait "
+                f"input? Use an eval canvas that fits the "
+                f"long-side-{test_size} resize, e.g. --eval_h {h} "
+                f"--eval_w {w} (reference protocol: coco.py:84-91)")
     s = fit_canvas(s, canvas_hw)
     return normalize(s)

@@ -342,9 +342,35 @@ def main(argv=None):
                              save_freq_epochs=args.save_freq)
     # --no_opt: weights only, fresh optimizer/epoch (reference
     # main_glassrgbd.py:160-164); the new --lr_drop always applies because
-    # the LR schedule is rebuilt from the current config
-    state, start_epoch = (ckpt.restore(state, params_only=args.no_opt)
-                          if args.resume else (state, 0))
+    # the LR schedule is rebuilt from the current config.
+    # --resume forms: a checkpoint DIRECTORY (another experiment's orbax
+    # checkpoints), a .pth file (reference torch checkpoint -> converted,
+    # weights only), or any other truthy value to resume this experiment's
+    # own rolling checkpoint (reference path semantics:
+    # main_glassrgbd.py:106-164).
+    start_epoch = 0
+    if args.resume:
+        if args.resume.endswith(".pth") or args.resume.startswith("http"):
+            import torch as _torch
+            from gwdepth_tpu.convert.torch_weights import merge_params
+            from gwdepth_tpu.convert.full_model import glassrgbd_torch_to_flax
+            sd = _torch.load(resolve_checkpoint_path(args.resume),
+                             map_location="cpu", weights_only=False)
+            sd = sd.get("model", sd)
+            sd = {k: v.numpy() for k, v in sd.items()
+                  if hasattr(v, "numpy")}
+            overlay = glassrgbd_torch_to_flax(sd)
+            state = state.replace(params=jax.tree.map(
+                jnp.asarray, merge_params(state.params, overlay)))
+            print(f"resumed weights from torch checkpoint {args.resume} "
+                  "(optimizer state not portable from torch — fresh)")
+        else:
+            rdir = (args.resume if os.path.isdir(args.resume)
+                    else os.path.join(out_dir, "checkpoints"))
+            rckpt = (CheckpointManager(rdir) if rdir !=
+                     os.path.join(out_dir, "checkpoints") else ckpt)
+            state, start_epoch = rckpt.restore(state,
+                                               params_only=args.no_opt)
 
     print("Start training")
     t0 = time.time()

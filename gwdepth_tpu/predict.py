@@ -73,7 +73,9 @@ def preprocess(img: Image.Image, canvas_hw: Tuple[int, int], test_size=1024):
     z = np.zeros((img.height, img.width), np.float32)
     s = Sample(img.convert("RGB"), z, z.astype(np.uint8),
                np.zeros((0, 4)), np.zeros((0, 2)), np.zeros((0,), np.int64))
-    s = eval_transform(s, canvas_hw, test_size=test_size, max_size=test_size)
+    # arbitrary inference inputs may be portrait; best-effort canvas fit
+    s = eval_transform(s, canvas_hw, test_size=test_size,
+                       max_size=test_size, strict_protocol=False)
     h, w = s.image.shape[:2]
     ch, cw = canvas_hw
     canvas = np.zeros((ch, cw, 3), np.float32)
