@@ -35,12 +35,40 @@ class CheckpointManager:
                 enable_async_checkpointing=True),
         )
 
+    @staticmethod
+    def _globalize(tree):
+        """Multi-host: orbax refuses host-local (fully-addressable) arrays
+        when process_count > 1.  State produced by the pjit/mesh path is
+        already global, but replicated host-local leaves (step counters,
+        states built off-mesh) must be promoted to global replicated
+        arrays — every host holds the same value, so a replicated
+        PartitionSpec over the all-devices mesh is exact."""
+        import jax
+        if jax.process_count() == 1:
+            return tree
+        import numpy as np
+        from jax.sharding import Mesh, PartitionSpec
+        from jax.experimental import multihost_utils
+        mesh = Mesh(np.array(jax.devices()), ("all",))
+
+        def fix(x):
+            if isinstance(x, jax.Array) and x.sharding.is_fully_addressable:
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(x), mesh, PartitionSpec())
+            if isinstance(x, (np.ndarray, np.generic)):
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(x), mesh, PartitionSpec())
+            return x
+
+        return jax.tree.map(fix, tree)
+
     def save(self, epoch: int, state, config=None, force: bool = False):
         """Rolling save every call; orbax keeps `max_keep` plus any step we
         mark to preserve (epoch-stamped copies at save_freq boundaries,
         main_glassrgbd.py:216-219)."""
-        payload = {"params": state.params, "opt_state": state.opt_state,
-                   "step": state.step}
+        payload = self._globalize(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step})
         metadata = {"epoch": epoch}
         if config is not None:
             metadata["config"] = dataclasses.asdict(config)
