@@ -1,21 +1,32 @@
-"""Headline benchmark: stage-1 GW-Depth inference throughput.
+"""Headline benchmark: stage-1 GW-Depth inference + training throughput.
 
 Protocol mirrors the reference eval path (batch 1 images resized so the
 long side is 1024, reference: script/evaluation/eval_stage1_line-glassrgbd.sh,
 src/datasets/coco.py:84-91): full ResNet-50 + DETR line branch + dense
-depth/seg branch forward. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+depth/seg branch forward; plus the full 704x1024 train step (forward +
+Hungarian criterion + backward + grouped AdamW), the reference's training
+shape (src/datasets/transforms_depth.py crop sizes).
 
-`vs_baseline` compares against the reference PyTorch model running the same
-forward on CPU (the only reference hardware available here — the reference
-repo records no throughput numbers, BASELINE.md). The CPU baseline was
-measured once with torch 2.x eager on this machine's host CPU and is pinned
-below; see bench_baseline.py for the measurement script.
+Prints TWO JSON lines; the LAST is the headline the driver records:
+  {"metric": "train_step_images_per_sec_704x1024", ...}
+  {"metric": "eval_forward_images_per_sec_768x1024", ..., "vs_baseline": N}
+
+`vs_baseline` compares against the ACTUAL reference PyTorch model running
+the same eval forward on the host CPU (bench_baseline.py measurement —
+the reference repo records no throughput numbers, BASELINE.md).
+
+`mfu` = XLA cost_analysis flops / measured time / chip peak.  Peak is
+v5e bf16 (197 TFLOP/s): the tunnel's XLA executes f32 matmuls as bf16
+passes (xla_allow_excess_precision), so bf16 peak is the honest
+denominator.  The train step's Hungarian solve runs data-dependent
+`while_loop`s whose trip counts cost_analysis cannot see, so its flops
+(and hence MFU) are a floor estimate.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -27,8 +38,20 @@ import jax.numpy as jnp
 # s/image (spread 13.8-14.7); measured 2026-08-17 via bench_baseline.py.
 CPU_BASELINE_IMAGES_PER_SEC = 0.0701
 
+PEAK_FLOPS = 197e12  # TPU v5e bf16 peak
 
-def main():
+
+def _flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        return 0.0
+
+
+def bench_eval_fwd(seed: int):
     from gwdepth_tpu.config import GWDepthConfig
     from gwdepth_tpu.models import GlassRGBD
 
@@ -39,8 +62,6 @@ def main():
     # a fixed-seed benchmark replayed by the driver would report cache
     # lookups, not compute. (Eval fwd was verified memo-free, fresh ==
     # repeat — the entropy seed keeps that guarantee cheap and permanent.)
-    import os
-    seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
     n_iters = 24
     inputs = [jax.random.normal(jax.random.PRNGKey(seed + i),
                                 (1, *cfg.eval_hw, 3), jnp.float32)
@@ -52,6 +73,8 @@ def main():
         out = model.apply(params, images)
         return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"]
 
+    compiled = fwd.lower(inputs[0]).compile()
+    flops = _flops(compiled)
     # warmup / compile
     jax.block_until_ready(fwd(inputs[0]))
     jax.block_until_ready(fwd(inputs[1]))
@@ -60,13 +83,65 @@ def main():
     jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     ips = n_iters / dt
+    return ips, (flops * ips / PEAK_FLOPS if flops else None)
 
+
+def bench_train_step(seed: int):
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.data.batch import dummy_batch
+    from gwdepth_tpu.models import GlassRGBD
+    from gwdepth_tpu.parallel import (create_train_state, make_train_step,
+                                      place_replicated)
+
+    cfg = GWDepthConfig(train_hw=(704, 1024), batch_size=1)
+    model = GlassRGBD(cfg)
+    batch = dummy_batch(cfg, batch_size=1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 batch.images)["params"]
+    state = create_train_state(cfg, params, steps_per_epoch=1000)
+    step = make_train_step(cfg, model)
+
+    n_iters = 12
+    # entropy-fresh images per step (same anti-memoization rule as above)
+    images = [jax.random.normal(jax.random.PRNGKey(seed + 7919 * i),
+                                batch.images.shape, jnp.float32)
+              for i in range(n_iters + 2)]
+    rngs = [jax.random.PRNGKey(seed ^ i) for i in range(n_iters + 2)]
+    flops = _flops(step.lower(state, batch, rngs[0]).compile())
+    # warmup (also places the donated state on device in the output layout)
+    state, _ = step(state, batch.replace(images=images[0]), rngs[0])
+    state, _ = step(state, batch.replace(images=images[1]), rngs[1])
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, log = step(state, batch.replace(images=images[2 + i]),
+                          rngs[2 + i])
+    jax.block_until_ready((state.params, log))
+    dt = time.perf_counter() - t0
+    ips = n_iters / dt
+    return ips, (flops * ips / PEAK_FLOPS if flops else None)
+
+
+def main():
+    seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
+
+    tr_ips, tr_mfu = bench_train_step(seed)
+    print(json.dumps({
+        "metric": "train_step_images_per_sec_704x1024",
+        "value": round(tr_ips, 3),
+        "unit": "images/sec",
+        "ms_per_step": round(1000.0 / tr_ips, 1),
+        "mfu": round(tr_mfu, 4) if tr_mfu else None,
+    }), flush=True)
+
+    ips, mfu = bench_eval_fwd(seed)
     print(json.dumps({
         "metric": "eval_forward_images_per_sec_768x1024",
         "value": round(ips, 3),
         "unit": "images/sec",
+        "mfu": round(mfu, 4) if mfu else None,
         "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
