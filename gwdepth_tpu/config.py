@@ -93,6 +93,8 @@ class GWDepthConfig:
     dtype: str = "float32"           # compute dtype: "float32" | "bfloat16"
     param_dtype: str = "float32"
     use_pallas: bool = False          # fused Pallas window-attention path
+    decoder_blockconv: bool = True    # space-to-depth decoder tail (exact
+                                      # re-layout; see ops/blockconv.py)
     remat: bool = False               # rematerialize swin blocks (training
                                       # memory <-> recompute trade)
 

@@ -198,6 +198,7 @@ class DenseEncoder(nn.Module):
         if cfg.depth_sample_layers[0]:
             d8 = PointBasedPred(D // 4, tC, (16, 8, 4, 2),
                                 cfg.interval_sample_num[0],
+                                use_pallas=cfg.use_pallas,
                                 name="point_based_pred1")(
                 x, depth_token, d16, coords, pos2)
         else:
@@ -233,6 +234,7 @@ class DenseEncoder(nn.Module):
         if cfg.depth_sample_layers[2]:
             d4 = PointBasedPred(D // 8, tC, (16, 8, 4, 2),
                                 cfg.interval_sample_num[1],
+                                use_pallas=cfg.use_pallas,
                                 name="point_based_pred2")(
                 x, depth_token, d8, coords, pos3)
         else:

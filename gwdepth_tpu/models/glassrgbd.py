@@ -103,7 +103,8 @@ class GlassRGBD(nn.Module):
                 cfg, name="dense_encoder")(
                 dense_in, feats, masks, out["pred_lines"], out["pred_logits"])
             depth_full, seg = DensePrediction(
-                cfg.max_depth, cfg.class_token_dim, name="depth_decoder")(
+                cfg.max_depth, cfg.class_token_dim,
+                blockconv=cfg.decoder_blockconv, name="depth_decoder")(
                 feats_d[-1], depth_preds[-1], depth_token, seg_token, (H, W))
             out["pred_depth"] = depth_preds + [depth_full]
             out["pred_seg"] = seg

@@ -37,7 +37,10 @@ import jax
 import jax.numpy as jnp
 
 from gwdepth_tpu.ops.grid_sample import grid_sample_nhwc
-from gwdepth_tpu.ops.interpolate import resize_bilinear, resize_bilinear_nhwc
+from gwdepth_tpu.ops.interpolate import (avg_pool_matmul_nhwc,
+                                         resize_bilinear,
+                                         resize_bilinear_matmul_nhwc,
+                                         resize_bilinear_nhwc)
 from gwdepth_tpu.models.swin import TRUNC02, XAVIER
 
 
@@ -138,36 +141,75 @@ def certain_sample(pred_small: jnp.ndarray, pred_large: jnp.ndarray,
 # pyramid layer
 # ---------------------------------------------------------------------------
 
+class _ConvKernel(nn.Module):
+    """Param holder matching `nn.Conv(use_bias=False)`'s `<name>/kernel`."""
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", XAVIER, self.shape)
+
+
+class _LnParams(nn.Module):
+    """Param holder matching `nn.LayerNorm`'s `<name>/{scale,bias}`."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones_init(),
+                           (self.dim,)),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.dim,)))
+
+
 class ConvLn(nn.Module):
     """3x3 (or kxk) conv without bias + channels-last LayerNorm
-    (reference: points_sample.py:12-25)."""
+    (reference: points_sample.py:12-25).
+
+    `fuse` folds the following activation (and optional residual add) into
+    one Pallas TPU kernel (`ops/fused_conv.py`) — same params, bf16 taps /
+    f32 accumulation, XLA-reference VJP. Only valid for the plain
+    3x3/stride-1/dilation-1 case."""
     out: int
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
+    fuse: bool = False
+    fuse_act: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        if self.fuse:
+            assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
+            from gwdepth_tpu.ops.fused_conv import fused_conv_ln_act
+            w = _ConvKernel((3, 3, x.shape[-1], self.out), name="conv")()
+            g, b = _LnParams(self.out, name="ln")()
+            y = fused_conv_ln_act(x, w, g, b, self.fuse_act)
+            return y + residual if residual is not None else y
         pad = self.dilation if self.dilation > 1 else self.kernel // 2
         x = nn.Conv(self.out, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=((pad, pad), (pad, pad)),
                     kernel_dilation=(self.dilation, self.dilation),
                     use_bias=False, kernel_init=XAVIER, name="conv")(x)
-        return nn.LayerNorm(epsilon=1e-5, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
+        if self.fuse_act == "gelu":
+            x = nn.gelu(x, approximate=False)
+        return x + residual if residual is not None else x
 
 
 class BasicBlock(nn.Module):
     """ConvLn+GELU -> ConvLn, residual (reference: points_sample.py:27-43)."""
     planes: int
     dilation: int = 1
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x):
-        out = nn.gelu(ConvLn(self.planes, dilation=self.dilation,
-                             name="conv1")(x), approximate=False)
-        out = ConvLn(self.planes, dilation=self.dilation, name="conv2")(out)
-        return out + x
+        out = ConvLn(self.planes, dilation=self.dilation, fuse=self.fuse,
+                     fuse_act="gelu", name="conv1")(x)
+        return ConvLn(self.planes, dilation=self.dilation, fuse=self.fuse,
+                      name="conv2")(out, residual=x)
 
 
 def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -179,19 +221,24 @@ class PyramidLayer(nn.Module):
     (reference: points_sample.py:45-125). in/out channels = point count."""
     in_dim: int
     pool_sizes: Tuple[int, ...]
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, P) -> (B, H, W, P)."""
         B, H, W, P = x.shape
         d2 = self.in_dim * 2
-        x = nn.gelu(ConvLn(self.in_dim, name="first0")(x), approximate=False)
-        x = nn.gelu(ConvLn(d2, name="first1")(x), approximate=False)
-        x = BasicBlock(d2, name="layer1_0")(x)
-        x = BasicBlock(d2, name="layer2_0")(x)
-        x = BasicBlock(d2, name="layer2_1")(x)
-        x = BasicBlock(d2, name="layer3_0")(x)
-        x = BasicBlock(d2, name="layer3_1")(x)
+        # fuse conv+LN+GELU into one Pallas kernel only on the full-size
+        # planes; the pooled SPP branches are too small to pay off
+        fuse = self.use_pallas
+        x = ConvLn(self.in_dim, fuse=fuse, fuse_act="gelu",
+                   name="first0")(x)
+        x = ConvLn(d2, fuse=fuse, fuse_act="gelu", name="first1")(x)
+        x = BasicBlock(d2, fuse=fuse, name="layer1_0")(x)
+        x = BasicBlock(d2, fuse=fuse, name="layer2_0")(x)
+        x = BasicBlock(d2, fuse=fuse, name="layer2_1")(x)
+        x = BasicBlock(d2, fuse=fuse, name="layer3_0")(x)
+        x = BasicBlock(d2, fuse=fuse, name="layer3_1")(x)
         # (reference builds a dilated layer4 it never calls — omitted)
 
         # pad so the largest pool fits (points_sample.py:94-104)
@@ -202,13 +249,15 @@ class PyramidLayer(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         branches = [x]
         for i, k in enumerate(self.pool_sizes):
-            b = _avg_pool(x, k)
+            # pool and upsample as separable matmuls: same numbers, one
+            # MXU pass each instead of reduce_window + gather relayouts
+            b = avg_pool_matmul_nhwc(x, k)
             b = nn.gelu(ConvLn(d2, name=f"branch{i + 1}")(b),
                         approximate=False)
-            b = resize_bilinear_nhwc(b, (Hp, Wp), align_corners=True)
+            b = resize_bilinear_matmul_nhwc(b, (Hp, Wp), align_corners=True)
             branches.append(b)
         xx = jnp.concatenate(branches, axis=-1)
-        x = nn.gelu(ConvLn(d2 * 2, name="last0")(xx), approximate=False)
+        x = ConvLn(d2 * 2, fuse=fuse, fuse_act="gelu", name="last0")(xx)
         x = nn.Conv(self.in_dim, (1, 1), use_bias=False, kernel_init=XAVIER,
                     name="last1")(x)
         return x[:, :H, :W]
@@ -228,6 +277,7 @@ class PointBasedPred(nn.Module):
     token_dim: int
     pool_sizes: Tuple[int, ...]
     point_num: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, depth_token: jnp.ndarray,
@@ -252,7 +302,7 @@ class PointBasedPred(nn.Module):
                         preferred_element_type=jnp.float32)
         rg = (rg * (self.dim ** -2)).astype(x.dtype)           # ref :273
         rg = PyramidLayer(self.point_num, self.pool_sizes,
-                          name="pyramid")(rg)
+                          use_pallas=self.use_pallas, name="pyramid")(rg)
         attn = jax.nn.softmax(rg.astype(jnp.float32), axis=-1)
         return jnp.einsum("bhws,bs->bhw", attn,
                           anchor.astype(jnp.float32))

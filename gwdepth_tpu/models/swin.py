@@ -119,7 +119,9 @@ class RefAttnDiffusion(nn.Module):
 
         if self.use_pallas:
             from gwdepth_tpu.ops.pallas_kernels import ref_attn_diffusion_pallas
-            a = ref_attn_diffusion_pallas(a, kernel, bias)
+            a = ref_attn_diffusion_pallas(
+                a, kernel, bias,
+                interpret=jax.default_backend() != "tpu")
         else:
             for _ in range(3):
                 upd = jax.lax.conv_general_dilated(

@@ -1,0 +1,295 @@
+"""Fused 3x3-conv + LayerNorm + activation Pallas TPU kernel.
+
+Why: the point machinery (models/points.py:PyramidLayer, reference
+src/models/points/points_sample.py:45-125) and the dense decoder
+(models/decoder.py, reference src/models/dense_upsample.py:74-182) are
+chains of [3x3 conv -> channels-last LayerNorm -> GELU/ELU] at batch 1.
+As XLA ops each link costs three HBM round trips (conv out, LN out, act
+out), and the conv itself runs as an f32 (bf16x3-pass) matmul. Measured
+on the v5e, the chain is bandwidth/op-count bound, not FLOPs bound
+(casting the whole model to bf16 changes nothing — see STATUS.md).
+
+The kernel computes conv+LN+act(+residual) in ONE pass with the plane
+resident in VMEM:
+
+- Layout (C, S): channels in sublanes, flattened padded spatial in
+  lanes. This keeps the lane dimension full even for the decoder's
+  16-channel planes, which in NHWC pad 8x to the 128 lane tile (see
+  CLAUDE.md).
+- The 3x3 conv is 9 shifted-slice matmuls: x is zero-padded to
+  (Hp, Wp) = (H+2, W+2) and flattened, so tap (dy, dx) is the in-VMEM
+  lane slice at offset dy*Wp + dx and the matmul is
+  (Co, Ci) @ (Ci, H*Wp) — one large-N MXU contraction per tap, no
+  im2col materialisation and no extra HBM traffic for the shifts.
+  Outputs land in a (Co, H, Wp) frame whose junk columns (row-crossing
+  reads of the zero borders) the caller slices off.
+- Cin is tiled over a sequential grid dimension with revisited output
+  blocks (the canonical Pallas K-loop), so the 800-channel SPP merge
+  (5 x 160 branches) runs without materialising the concat in VMEM:
+  LN/act fire only on the last chunk.
+- LN reduces over sublanes (channels) in f32; GELU uses the A&S 7.1.26
+  erf approximation (|err| <= 1.5e-7 — Mosaic has no erf lowering),
+  ELU is exp-based.
+- `fast=True` runs the tap matmuls with bf16 inputs / f32 accumulation
+  (one MXU pass instead of the three bf16 passes XLA uses for f32).
+  This matches the precision class of the reference's own cuDNN TF32
+  convs on GPU. `fast=False` keeps XLA's default f32 conv numerics.
+
+Forward semantics match `nn.Conv(3x3, no bias) -> nn.LayerNorm ->
+gelu(exact)/elu` exactly (up to fp reassociation); the differentiable
+XLA path in the callers remains the training/backward implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(z):
+    """A&S 7.1.26 rational erf (|err| <= 1.5e-7); Mosaic lacks erf."""
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+
+
+def _gelu(x):
+    return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+def _elu(x):
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _make_kernel(n_k: int, Wp: int, Sout: int, has_ln: bool,
+                 act: Optional[str], has_res: bool, fast: bool):
+    def kernel(*refs):
+        i = 0
+        x_ref = refs[i]; i += 1                     # (1, 1, Kc, S2)
+        w_ref = refs[i]; i += 1                     # (1, 9, Co, Kc)
+        if has_ln:
+            g_ref = refs[i]; i += 1                 # (Co, 1)
+            b_ref = refs[i]; i += 1                 # (Co, 1)
+        if has_res:
+            r_ref = refs[i]; i += 1                 # (1, Co, Sout)
+        out_ref = refs[i]                           # (1, Co, Sout)
+
+        k = pl.program_id(1)
+
+        def mm(a, b):
+            if fast:  # slabs arrive pre-cast to bf16 (VMEM halving); the
+                a = a.astype(jnp.bfloat16)  # casts are no-ops then
+                b = b.astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        # Lane-chunked accumulation: a full (Co, Sout) accumulator held
+        # across the 9 taps spills hundreds of MB of registers at
+        # Co=320/Sout=50k; per-chunk the live set is (Co, CH).
+        CH = 4096
+        for s0 in range(0, Sout, CH):
+            ch = min(CH, Sout - s0)
+            sl = slice(s0, s0 + ch)
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    o = dy * Wp + dx + s0
+                    # slice the REF (a VMEM load of just the chunk) —
+                    # loading the whole slab as a value keeps it live in
+                    # registers and spills ~90 MB
+                    p = mm(w_ref[0, dy * 3 + dx], x_ref[0, 0, :, o:o + ch])
+                    acc = p if acc is None else acc + p
+
+            @pl.when(k != 0)
+            def _():
+                out_ref[0, :, sl] = out_ref[0, :, sl] + acc
+
+            @pl.when(k == 0)
+            def _():
+                out_ref[0, :, sl] = acc
+
+        if has_ln or act is not None or has_res:
+            @pl.when(k == n_k - 1)
+            def _():
+                # Epilogue in lane chunks: LN reduces over sublanes
+                # (channels) per spatial position, so slicing the lane
+                # axis is exact — and it bounds the live register set
+                # (a whole (320, 49536) block spilled ~500 MB of VMEM).
+                CH = 4096
+                for s0 in range(0, Sout, CH):
+                    sl = slice(s0, min(s0 + CH, Sout))
+                    y = out_ref[0, :, sl]
+                    if has_ln:
+                        mean = jnp.mean(y, axis=0, keepdims=True)
+                        d = y - mean
+                        var = jnp.mean(d * d, axis=0, keepdims=True)
+                        y = d * jax.lax.rsqrt(var + 1e-5)
+                        y = y * g_ref[...] + b_ref[...]
+                    if act == "gelu":
+                        y = _gelu(y)
+                    elif act == "elu":
+                        y = _elu(y)
+                    if has_res:
+                        y = y + r_ref[0, :, sl]
+                    out_ref[0, :, sl] = y
+
+    return kernel
+
+
+def _prepare(x: jnp.ndarray):
+    """NHWC (B, H, W, C) -> padded channels-major (B, C, S2) f32, with
+    S2 = (H+2)*(W+2) + 2 trailing junk lanes so every tap slice of
+    length H*(W+2) stays in bounds."""
+    B, H, W, C = x.shape
+    Wp = W + 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xt = jnp.transpose(xp, (0, 3, 1, 2)).reshape(B, C, (H + 2) * Wp)
+    return jnp.pad(xt, ((0, 0), (0, 0), (0, 2))).astype(jnp.float32)
+
+
+def _finish(y: jnp.ndarray, H: int, W: int):
+    """(B, Co, H*(W+2)) frame -> NHWC (B, H, W, Co)."""
+    B, Co, _ = y.shape
+    y = y.reshape(B, Co, H, W + 2)[:, :, :, :W]
+    return jnp.transpose(y, (0, 2, 3, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "fast", "k_chunk", "interpret", "out_dtype"))
+def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
+                   ln_scale: Optional[jnp.ndarray] = None,
+                   ln_bias: Optional[jnp.ndarray] = None,
+                   residual: Optional[jnp.ndarray] = None,
+                   *, act: Optional[str] = None, fast: bool = True,
+                   k_chunk: int = 256, interpret: bool = False,
+                   out_dtype=None) -> jnp.ndarray:
+    """Fused y = act(LN(conv3x3(x))) [+ residual].
+
+    x: (B, H, W, Cin) NHWC; w: (3, 3, Cin, Cout) HWIO (flax layout, no
+    bias — the reference's ConvLn/UpConv convs are all bias-free);
+    ln_scale/ln_bias: (Cout,) or None to skip the LayerNorm;
+    residual: (B, H, W, Cout) or None; act: None | 'gelu' | 'elu'.
+    Cin is processed in `k_chunk` slabs (sequential grid accumulation),
+    so arbitrarily wide inputs (the 800-channel SPP concat) never hold
+    more than one slab in VMEM.
+    """
+    B, H, W, Ci = x.shape
+    Co = w.shape[3]
+    Wp = W + 2
+    Sout = H * Wp
+    S2 = (H + 2) * Wp + 2
+    has_ln = ln_scale is not None
+
+    # narrower slabs for wide inputs (the 800-ch SPP merge): two slabs are
+    # live at once (double buffering) next to the revisited output block
+    kc = min(k_chunk if Ci <= 256 else 128, Ci)
+    n_k = -(-Ci // kc)
+    Cip = n_k * kc
+    if Cip != Ci:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cip - Ci)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cip - Ci), (0, 0)))
+
+    # fast mode stores the padded slab and weights in bf16: the kernel
+    # multiplies in bf16 anyway, and halving the double-buffered input
+    # slab keeps the 1/4-scale 192x256x160 plane under the VMEM budget
+    tap_dt = jnp.bfloat16 if fast else jnp.float32
+    xs = _prepare(x).astype(tap_dt).reshape(B, n_k, kc, S2)
+    w9 = jnp.transpose(w.astype(tap_dt), (0, 1, 3, 2))
+    w9 = w9.reshape(9, Co, n_k, kc).transpose(2, 0, 1, 3)  # (nk, 9, Co, kc)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, kc, S2), lambda b, k: (b, k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 9, Co, kc), lambda b, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [xs, w9]
+    if has_ln:
+        in_specs += [
+            pl.BlockSpec((Co, 1), lambda b, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Co, 1), lambda b, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ln_scale.astype(jnp.float32).reshape(Co, 1),
+                 ln_bias.astype(jnp.float32).reshape(Co, 1)]
+    if residual is not None:
+        rt = _prepare(residual)                       # (B, Co, S2)
+        rt = jax.lax.dynamic_slice_in_dim(rt, Wp + 1, Sout, axis=2)
+        in_specs.append(pl.BlockSpec((1, Co, Sout),
+                                     lambda b, k: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(rt)
+
+    kernel = _make_kernel(n_k, Wp, Sout, has_ln, act,
+                          residual is not None, fast)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Co, Sout), lambda b, k: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Co, Sout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    out = _finish(y, H, W)
+    return out.astype(out_dtype or x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_conv_ln_act(x, w, ln_scale, ln_bias, act):
+    """Differentiable fused conv+LN+act: Pallas forward (bf16 taps, f32
+    accumulation — the precision class of the reference's TF32 cuDNN
+    convs), XLA-reference VJP backward. On CPU backends the Pallas call
+    runs in interpret mode, so the op works everywhere."""
+    interp = jax.default_backend() != "tpu"
+    return conv3x3_ln_act(x, w, ln_scale, ln_bias, act=act, fast=True,
+                          interpret=interp)
+
+
+def _fused_fwd(x, w, ln_scale, ln_bias, act):
+    return fused_conv_ln_act(x, w, ln_scale, ln_bias, act), \
+        (x, w, ln_scale, ln_bias)
+
+
+def _fused_bwd(act, res, ct):
+    x, w, g, b = res
+    _, vjp = jax.vjp(
+        lambda x, w, g, b: conv3x3_ln_act_reference(x, w, g, b, act=act),
+        x, w, g, b)
+    return vjp(ct)
+
+
+fused_conv_ln_act.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv3x3_ln_act_reference(x, w, ln_scale=None, ln_bias=None,
+                             residual=None, *, act=None):
+    """Pure-XLA reference implementation (tests + backward/CPU path)."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if ln_scale is not None:
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        d = y - mean
+        var = jnp.mean(d * d, axis=-1, keepdims=True)
+        y = d * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+    if act == "gelu":
+        y = jax.nn.gelu(y, approximate=False)
+    elif act == "elu":
+        y = jax.nn.elu(y)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(x.dtype)

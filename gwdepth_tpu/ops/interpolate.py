@@ -15,7 +15,10 @@ by explicit gathers/weights so numerics match the reference exactly.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 
 def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
@@ -68,6 +71,69 @@ def resize_bilinear_nhwc(x: jnp.ndarray, size,
     left = row[:, :, x0]
     right = row[:, :, x1]
     return left + (right - left) * wx
+
+
+@functools.lru_cache(maxsize=None)
+def _lerp_matrix(out_len: int, in_len: int, align_corners: bool) -> np.ndarray:
+    """(out_len, in_len) row-stochastic interpolation matrix with torch
+    bilinear weights (two taps per row)."""
+    i = np.arange(out_len, dtype=np.float64)
+    if align_corners:
+        f = (i * ((in_len - 1) / max(out_len - 1, 1))
+             if out_len > 1 else np.zeros((1,)))
+    else:
+        f = np.clip((i + 0.5) * (in_len / out_len) - 0.5, 0.0, in_len - 1)
+    i0 = np.floor(f).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_len - 1)
+    w = f - i0
+    M = np.zeros((out_len, in_len), np.float32)
+    M[np.arange(out_len), i0] += (1.0 - w).astype(np.float32)
+    M[np.arange(out_len), i1] += w.astype(np.float32)
+    return M
+
+
+def resize_bilinear_matmul_nhwc(x: jnp.ndarray, size,
+                                align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize as two separable matmuls (exact same lerp weights
+    as `resize_bilinear_nhwc`). On TPU the gather-based resize costs
+    several relayout passes; expressing it as (Ho,H) @ x @ (W,Wo) keeps it
+    on the MXU with one output write. Preferred for the SPP branch
+    upsamples (models/points.py)."""
+    B, H, W, C = x.shape
+    Ho, Wo = size
+    Ry = jnp.asarray(_lerp_matrix(Ho, H, align_corners))
+    Rx = jnp.asarray(_lerp_matrix(Wo, W, align_corners))
+    y = jnp.einsum("hH,bHWc->bhWc", Ry, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("wW,bhWc->bhwc", Rx, y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(in_len: int, k: int) -> np.ndarray:
+    """(in_len//k, in_len) non-overlapping mean-pool matrix. Trailing
+    `in_len % k` positions get zero weight (VALID-window floor semantics,
+    matching `nn.avg_pool(strides=k)`)."""
+    out_len = in_len // k
+    M = np.zeros((out_len, in_len), np.float32)
+    for i in range(out_len):
+        M[i, i * k:(i + 1) * k] = 1.0 / k
+    return M
+
+
+def avg_pool_matmul_nhwc(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Non-overlapping k x k average pool as two separable matmuls
+    (exactly `nn.avg_pool(x, (k, k), strides=(k, k))` up to summation
+    order). reduce_window at large k is measurably slower on TPU."""
+    B, H, W, C = x.shape
+    Py = jnp.asarray(_pool_matrix(H, k))
+    Px = jnp.asarray(_pool_matrix(W, k))
+    y = jnp.einsum("hH,bHWc->bhWc", Py, x,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("wW,bhWc->bhwc", Px, y,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:

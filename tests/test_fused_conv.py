@@ -1,0 +1,111 @@
+"""Fused conv3x3+LN+act Pallas kernel (ops/fused_conv.py).
+
+Runs in interpret mode on the CPU test backend; the same code path
+compiles on TPU. bf16-tap tolerance: the fused kernel multiplies taps in
+bf16 with f32 accumulation (the reference's own cuDNN convs run TF32),
+so comparisons against the f32 XLA chain use a correspondingly loose
+tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gwdepth_tpu.models.points import ConvLn, PyramidLayer
+from gwdepth_tpu.ops.fused_conv import (conv3x3_ln_act,
+                                        conv3x3_ln_act_reference,
+                                        fused_conv_ln_act)
+
+K = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("act", [None, "gelu", "elu"])
+@pytest.mark.parametrize("ci", [16, 40, 300])  # 300 -> multi-chunk K loop
+def test_kernel_matches_reference(act, ci):
+    co = 24
+    x = jax.random.normal(jax.random.fold_in(K, ci), (2, 12, 20, ci))
+    w = jax.random.normal(jax.random.fold_in(K, ci + 1),
+                          (3, 3, ci, co)) * (1.0 / ci) ** 0.5
+    g = jax.random.normal(jax.random.fold_in(K, 2), (co,)) * 0.1 + 1.0
+    b = jax.random.normal(jax.random.fold_in(K, 3), (co,)) * 0.1
+    ref = conv3x3_ln_act_reference(x, w, g, b, act=act)
+    got = conv3x3_ln_act(x, w, g, b, act=act, fast=True, interpret=True,
+                         k_chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+    # f32 taps must match tightly
+    got32 = conv3x3_ln_act(x, w, g, b, act=act, fast=False, interpret=True,
+                           k_chunk=128)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_residual():
+    ci = co = 32
+    x = jax.random.normal(jax.random.fold_in(K, 5), (1, 10, 14, ci))
+    r = jax.random.normal(jax.random.fold_in(K, 6), (1, 10, 14, co))
+    w = jax.random.normal(jax.random.fold_in(K, 7),
+                          (3, 3, ci, co)) * 0.1
+    g = jnp.ones((co,)); b = jnp.zeros((co,))
+    ref = conv3x3_ln_act_reference(x, w, g, b, residual=r, act="gelu")
+    got = conv3x3_ln_act(x, w, g, b, residual=r, act="gelu",
+                         fast=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_fused_wrapper_grad_matches_reference():
+    ci = co = 8
+    x = jax.random.normal(jax.random.fold_in(K, 8), (1, 6, 6, ci))
+    w = jax.random.normal(jax.random.fold_in(K, 9), (3, 3, ci, co)) * 0.2
+    g = jnp.ones((co,)); b = jnp.zeros((co,))
+
+    def loss_fused(x, w, g, b):
+        return jnp.sum(fused_conv_ln_act(x, w, g, b, "gelu") ** 2)
+
+    def loss_ref(x, w, g, b):
+        return jnp.sum(conv3x3_ln_act_reference(x, w, g, b, act="gelu") ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, g, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, g, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_convln_fused_same_params_and_output():
+    """ConvLn(fuse=True) shares the param tree with the XLA ConvLn and
+    produces the same output (bf16-tap tolerance)."""
+    ci, co = 24, 24
+    x = jax.random.normal(jax.random.fold_in(K, 10), (1, 9, 11, ci))
+    plain = ConvLn(co, fuse_act="gelu")
+    fused = ConvLn(co, fuse=True, fuse_act="gelu")
+    p1 = plain.init(jax.random.PRNGKey(1), x)
+    p2 = fused.init(jax.random.PRNGKey(1), x)
+    f1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    f2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+    assert [p for p, _ in f1] == [p for p, _ in f2]
+    for (pa, va), (_, vb) in zip(f1, f2):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                      err_msg=str(pa))
+    y1 = plain.apply(p1, x)
+    y2 = fused.apply(p1, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_pyramid_fused_same_params_and_output():
+    P = 10
+    x = jax.random.normal(jax.random.fold_in(K, 11), (1, 18, 20, P)) * 0.3
+    plain = PyramidLayer(P, (16, 8, 4, 2))
+    fused = PyramidLayer(P, (16, 8, 4, 2), use_pallas=True)
+    p1 = plain.init(jax.random.PRNGKey(2), x)
+    p2 = fused.init(jax.random.PRNGKey(2), x)
+    f1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    f2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+    assert [p for p, _ in f1] == [p for p, _ in f2]
+    y1 = plain.apply(p1, x)
+    y2 = fused.apply(p1, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               atol=5e-2, rtol=5e-2)
