@@ -40,6 +40,15 @@ CPU_BASELINE_IMAGES_PER_SEC = 0.0701
 
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak
 
+# XLA cost_analysis flops of the batch-1 768x1024 eval forward (pure-XLA
+# path, measured 2026-08-17). Pinned because the timed path uses Pallas
+# custom-calls whose flops cost_analysis cannot see — both paths compute
+# identical convolutions, and an extra full-model tunnel compile just for
+# accounting costs minutes of bench budget. Re-measure if the
+# architecture changes: see /tmp recipe in the git history (flops =
+# fwd.lower(x).compile().cost_analysis()["flops"] with use_pallas=False).
+EVAL_FWD_FLOPS = 1.241e12
+
 
 def _flops(compiled) -> float:
     try:
@@ -52,10 +61,16 @@ def _flops(compiled) -> float:
 
 
 def bench_eval_fwd(seed: int):
+    import dataclasses
+
     from gwdepth_tpu.config import GWDepthConfig
     from gwdepth_tpu.models import GlassRGBD
 
     cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
+    if jax.default_backend() == "tpu":
+        # serving path: fused Pallas inference kernels (same math; the
+        # predict CLI enables them the same way)
+        cfg = dataclasses.replace(cfg, use_pallas=True)
     model = GlassRGBD(cfg)
     # ENTROPY-fresh inputs, one per timed iteration: the remote-TPU tunnel
     # memoizes identical (program, input) executions ACROSS PROCESSES, so
@@ -73,8 +88,7 @@ def bench_eval_fwd(seed: int):
         out = model.apply(params, images)
         return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"]
 
-    compiled = fwd.lower(inputs[0]).compile()
-    flops = _flops(compiled)
+    flops = EVAL_FWD_FLOPS
     # warmup / compile
     jax.block_until_ready(fwd(inputs[0]))
     jax.block_until_ready(fwd(inputs[1]))

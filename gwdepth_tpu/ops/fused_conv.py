@@ -68,18 +68,25 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _make_kernel(n_k: int, Wp: int, Sout: int, has_ln: bool,
+def _make_kernel(n_k: int, Wp: int, n_s: int, CH: int, has_ln: bool,
                  act: Optional[str], has_res: bool, fast: bool):
+    """Kernel over chunk-major frames. The spatial chunk index is a MAJOR
+    (untiled) ref axis so fori_loop can index it dynamically — Mosaic has
+    no dynamic-offset vector load/store on the lane axis, and a
+    python-unrolled chunk loop allocated ~3 full output planes of
+    non-reused spill slots (94-496 MB at the 1/4-scale sizes). The x
+    chunks overlap by 2*Wp+2 lanes (materialized by the caller) so every
+    conv tap is a STATIC lane slice within one chunk."""
     def kernel(*refs):
         i = 0
-        x_ref = refs[i]; i += 1                     # (1, 1, Kc, S2)
+        x_ref = refs[i]; i += 1                     # (1, 1, n_s, Kc, CHs)
         w_ref = refs[i]; i += 1                     # (1, 9, Co, Kc)
         if has_ln:
             g_ref = refs[i]; i += 1                 # (Co, 1)
             b_ref = refs[i]; i += 1                 # (Co, 1)
         if has_res:
-            r_ref = refs[i]; i += 1                 # (1, Co, Sout)
-        out_ref = refs[i]                           # (1, Co, Sout)
+            r_ref = refs[i]; i += 1                 # (1, n_s, Co, CH)
+        out_ref = refs[i]                           # (1, n_s, Co, CH)
 
         k = pl.program_id(1)
 
@@ -91,43 +98,34 @@ def _make_kernel(n_k: int, Wp: int, Sout: int, has_ln: bool,
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        # Lane-chunked accumulation: a full (Co, Sout) accumulator held
-        # across the 9 taps spills hundreds of MB of registers at
-        # Co=320/Sout=50k; per-chunk the live set is (Co, CH).
-        CH = 4096
-        for s0 in range(0, Sout, CH):
-            ch = min(CH, Sout - s0)
-            sl = slice(s0, s0 + ch)
+        def conv_chunk(i, _):
             acc = None
             for dy in range(3):
                 for dx in range(3):
-                    o = dy * Wp + dx + s0
-                    # slice the REF (a VMEM load of just the chunk) —
-                    # loading the whole slab as a value keeps it live in
-                    # registers and spills ~90 MB
-                    p = mm(w_ref[0, dy * 3 + dx], x_ref[0, 0, :, o:o + ch])
+                    o = dy * Wp + dx
+                    tap = x_ref[0, 0, i, :, o:o + CH]
+                    p = mm(w_ref[0, dy * 3 + dx], tap)
                     acc = p if acc is None else acc + p
 
             @pl.when(k != 0)
             def _():
-                out_ref[0, :, sl] = out_ref[0, :, sl] + acc
+                out_ref[0, i] = out_ref[0, i] + acc
 
             @pl.when(k == 0)
             def _():
-                out_ref[0, :, sl] = acc
+                out_ref[0, i] = acc
+            return 0
+
+        jax.lax.fori_loop(0, n_s, conv_chunk, 0, unroll=False)
 
         if has_ln or act is not None or has_res:
             @pl.when(k == n_k - 1)
             def _():
-                # Epilogue in lane chunks: LN reduces over sublanes
-                # (channels) per spatial position, so slicing the lane
-                # axis is exact — and it bounds the live register set
-                # (a whole (320, 49536) block spilled ~500 MB of VMEM).
-                CH = 4096
-                for s0 in range(0, Sout, CH):
-                    sl = slice(s0, min(s0 + CH, Sout))
-                    y = out_ref[0, :, sl]
+                def epi_chunk(i, _):
+                    y = out_ref[0, i]
                     if has_ln:
+                        # LN reduces over sublanes (channels) per spatial
+                        # position, so lane chunking is exact
                         mean = jnp.mean(y, axis=0, keepdims=True)
                         d = y - mean
                         var = jnp.mean(d * d, axis=0, keepdims=True)
@@ -138,8 +136,11 @@ def _make_kernel(n_k: int, Wp: int, Sout: int, has_ln: bool,
                     elif act == "elu":
                         y = _elu(y)
                     if has_res:
-                        y = y + r_ref[0, :, sl]
-                    out_ref[0, :, sl] = y
+                        y = y + r_ref[0, i]
+                    out_ref[0, i] = y
+                    return 0
+
+                jax.lax.fori_loop(0, n_s, epi_chunk, 0, unroll=False)
 
     return kernel
 
@@ -186,8 +187,29 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     Co = w.shape[3]
     Wp = W + 2
     Sout = H * Wp
-    S2 = (H + 2) * Wp + 2
+    CH = min(4096, -(-Sout // 128) * 128)   # lanes per in-kernel chunk
+    n_s = -(-Sout // CH)
+    Sp = n_s * CH                           # lane-padded output frame
+    CHs = -(-(CH + 2 * Wp + 2) // 128) * 128  # chunk + tap halo, padded
+    S2p = (n_s - 1) * CH + CHs              # slab: every chunk in bounds
     has_ln = ln_scale is not None
+
+    # The whole (Co, Sp) f32 output block lives in VMEM across the K
+    # grid; past ~40 MB (the 800->320 SPP merge = 65 MB) it cannot
+    # coexist with the double-buffered slabs. Split the conv over Co
+    # into kernel-sized pieces (conv only) and run the LN/act epilogue
+    # in XLA — LN reduces over ALL channels, so it cannot split.
+    if has_ln and Co * Sp * 4 > 40 * 1024 * 1024:
+        co_b = max(128, (40 * 1024 * 1024 // (Sp * 4)) // 128 * 128)
+        pieces = [
+            conv3x3_ln_act(x, w[..., c0:min(c0 + co_b, Co)],
+                           act=None, fast=fast, k_chunk=k_chunk,
+                           interpret=interpret, out_dtype=jnp.float32)
+            for c0 in range(0, Co, co_b)]
+        y = jnp.concatenate(pieces, axis=-1)
+        return conv3x3_ln_act_reference(
+            y.astype(x.dtype), None, ln_scale, ln_bias,
+            residual=residual, act=act).astype(out_dtype or x.dtype)
 
     # narrower slabs for wide inputs (the 800-ch SPP merge): two slabs are
     # live at once (double buffering) next to the revisited output block
@@ -202,12 +224,18 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     # multiplies in bf16 anyway, and halving the double-buffered input
     # slab keeps the 1/4-scale 192x256x160 plane under the VMEM budget
     tap_dt = jnp.bfloat16 if fast else jnp.float32
-    xs = _prepare(x).astype(tap_dt).reshape(B, n_k, kc, S2)
+    xs = _prepare(x)
+    xs = jnp.pad(xs, ((0, 0), (0, 0), (0, S2p - xs.shape[-1])))
+    xs = xs.astype(tap_dt).reshape(B, n_k, kc, S2p)
+    # overlapping chunk-major slab: chunk i = lanes [i*CH, i*CH + CHs)
+    # (~12% duplication at CH=4096) so in-kernel taps are static slices
+    xs = jnp.stack([xs[..., i * CH:i * CH + CHs] for i in range(n_s)],
+                   axis=2)                       # (B, nk, ns, kc, CHs)
     w9 = jnp.transpose(w.astype(tap_dt), (0, 1, 3, 2))
     w9 = w9.reshape(9, Co, n_k, kc).transpose(2, 0, 1, 3)  # (nk, 9, Co, kc)
 
     in_specs = [
-        pl.BlockSpec((1, 1, kc, S2), lambda b, k: (b, k, 0, 0),
+        pl.BlockSpec((1, 1, n_s, kc, CHs), lambda b, k: (b, k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 9, Co, kc), lambda b, k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -225,26 +253,29 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     if residual is not None:
         rt = _prepare(residual)                       # (B, Co, S2)
         rt = jax.lax.dynamic_slice_in_dim(rt, Wp + 1, Sout, axis=2)
-        in_specs.append(pl.BlockSpec((1, Co, Sout),
-                                     lambda b, k: (b, 0, 0),
+        rt = jnp.pad(rt, ((0, 0), (0, 0), (0, Sp - Sout)))
+        rt = rt.reshape(B, Co, n_s, CH).transpose(0, 2, 1, 3)
+        in_specs.append(pl.BlockSpec((1, n_s, Co, CH),
+                                     lambda b, k: (b, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(rt)
 
-    kernel = _make_kernel(n_k, Wp, Sout, has_ln, act,
+    kernel = _make_kernel(n_k, Wp, n_s, CH, has_ln, act,
                           residual is not None, fast)
 
     y = pl.pallas_call(
         kernel,
         grid=(B, n_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Co, Sout), lambda b, k: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, n_s, Co, CH), lambda b, k: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Co, Sout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_s, Co, CH), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    out = _finish(y, H, W)
+    y = y.transpose(0, 2, 1, 3).reshape(B, Co, Sp)
+    out = _finish(y[:, :, :Sout], H, W)
     return out.astype(out_dtype or x.dtype)
 
 
@@ -277,10 +308,14 @@ fused_conv_ln_act.defvjp(_fused_fwd, _fused_bwd)
 
 def conv3x3_ln_act_reference(x, w, ln_scale=None, ln_bias=None,
                              residual=None, *, act=None):
-    """Pure-XLA reference implementation (tests + backward/CPU path)."""
-    y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
-        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    """Pure-XLA reference implementation (tests + backward/CPU path).
+    `w=None` skips the conv (LN/act/residual epilogue only)."""
+    if w is None:
+        y = x.astype(jnp.float32)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), w.astype(jnp.float32), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if ln_scale is not None:
         mean = jnp.mean(y, axis=-1, keepdims=True)
         d = y - mean

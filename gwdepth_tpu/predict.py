@@ -52,6 +52,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_vis", action="store_true")
     p.add_argument("--no_line", action="store_true",
                    help="depth/seg only (with_line=False)")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="disable the fused Pallas inference kernels")
     p.add_argument("--batch", type=int, default=1,
                    help="images per forward pass (last batch pads by "
                         "repeating; throughput-serving knob)")
@@ -97,6 +99,11 @@ def main(argv=None):
         cfg = tiny_test_config()
     else:
         cfg = GWDepthConfig(dropout=0.0)
+    if not args.no_pallas and jax.default_backend() == "tpu":
+        # forward-only fused kernels (diffusion + pyramid conv chains):
+        # measured 39.8 -> 35.8 ms/img at 768x1024 on v5e. TPU only —
+        # off-TPU they'd run in (slow) interpret mode.
+        cfg = cfg.replace(use_pallas=True)
     if args.no_line:
         cfg = cfg.replace(with_line=False)
     if args.eval_h and args.eval_w:
