@@ -103,8 +103,8 @@ class RefAttnDiffusion(nn.Module):
     3x3 conv + param-free layernorm over the full plane + GELU, residual.
 
     `use_pallas=True` runs all three iterations as ONE fused Pallas kernel
-    with the plane resident in VMEM (forward only — training keeps the XLA
-    path, which is differentiable)."""
+    with the plane resident in VMEM (differentiable: the custom VJP
+    backpropagates through the XLA formulation below)."""
     num_heads: int
     use_pallas: bool = False
 
@@ -118,23 +118,29 @@ class RefAttnDiffusion(nn.Module):
         bias = self.param("conv_bias", nn.initializers.zeros, (H,))
 
         if self.use_pallas:
-            from gwdepth_tpu.ops.pallas_kernels import ref_attn_diffusion_pallas
-            a = ref_attn_diffusion_pallas(
-                a, kernel, bias,
-                interpret=jax.default_backend() != "tpu")
+            from gwdepth_tpu.ops.pallas_kernels import ref_attn_diffusion
+            a = ref_attn_diffusion(a, kernel, bias)
         else:
-            for _ in range(3):
-                upd = jax.lax.conv_general_dilated(
-                    a, kernel.astype(a.dtype), (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
-                # F.layer_norm over [nW*N, n_rf] (no params): normalize each
-                # plane per batch & head jointly over both spatial axes.
-                mean = upd.mean(axis=(1, 2), keepdims=True)
-                var = upd.var(axis=(1, 2), keepdims=True)
-                upd = (upd - mean) * jax.lax.rsqrt(var + 1e-5)
-                a = a + nn.gelu(upd, approximate=False)
+            a = diffusion_xla(a, kernel, bias)
         a = a.reshape(B, nW, N, R, H)
         return jnp.moveaxis(a, 4, 2)
+
+
+def diffusion_xla(a: jnp.ndarray, kernel: jnp.ndarray,
+                  bias: jnp.ndarray) -> jnp.ndarray:
+    """XLA formulation of the 3-iteration diffusion (also the backward
+    semantics for the Pallas kernel's custom VJP)."""
+    for _ in range(3):
+        upd = jax.lax.conv_general_dilated(
+            a, kernel.astype(a.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        # F.layer_norm over [nW*N, n_rf] (no params): normalize each
+        # plane per batch & head jointly over both spatial axes.
+        mean = upd.mean(axis=(1, 2), keepdims=True)
+        var = upd.var(axis=(1, 2), keepdims=True)
+        upd = (upd - mean) * jax.lax.rsqrt(var + 1e-5)
+        a = a + nn.gelu(upd, approximate=False)
+    return a
 
 
 class RefQueryMixture(nn.Module):

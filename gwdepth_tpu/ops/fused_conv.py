@@ -195,11 +195,12 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     has_ln = ln_scale is not None
 
     # The whole (Co, Sp) f32 output block lives in VMEM across the K
-    # grid; past ~40 MB (the 800->320 SPP merge = 65 MB) it cannot
-    # coexist with the double-buffered slabs. Split the conv over Co
-    # into kernel-sized pieces (conv only) and run the LN/act epilogue
-    # in XLA — LN reduces over ALL channels, so it cannot split.
-    if has_ln and Co * Sp * 4 > 40 * 1024 * 1024:
+    # grid; past ~40 MB (the 800->320 SPP merge = 65 MB, the backward's
+    # 320->800 dx conv = 170 MB) it cannot coexist with the
+    # double-buffered slabs. Split the conv over Co into kernel-sized
+    # pieces (conv only) and run any LN/act epilogue in XLA — LN
+    # reduces over ALL channels, so it cannot split.
+    if Co * Sp * 4 > 40 * 1024 * 1024:
         co_b = max(128, (40 * 1024 * 1024 // (Sp * 4)) // 128 * 128)
         pieces = [
             conv3x3_ln_act(x, w[..., c0:min(c0 + co_b, Co)],
@@ -207,9 +208,10 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
                            interpret=interpret, out_dtype=jnp.float32)
             for c0 in range(0, Co, co_b)]
         y = jnp.concatenate(pieces, axis=-1)
-        return conv3x3_ln_act_reference(
-            y.astype(x.dtype), None, ln_scale, ln_bias,
-            residual=residual, act=act).astype(out_dtype or x.dtype)
+        if has_ln or act is not None or residual is not None:
+            y = conv3x3_ln_act_reference(y, None, ln_scale, ln_bias,
+                                         residual=residual, act=act)
+        return y.astype(out_dtype or x.dtype)
 
     # narrower slabs for wide inputs (the 800-ch SPP merge): two slabs are
     # live at once (double buffering) next to the revisited output block
@@ -295,12 +297,56 @@ def _fused_fwd(x, w, ln_scale, ln_bias, act):
         (x, w, ln_scale, ln_bias)
 
 
+def _act_grad_at(act: Optional[str], n: jnp.ndarray) -> jnp.ndarray:
+    """d act(n) / dn evaluated at the pre-activation n (f32)."""
+    if act == "gelu":  # exact: Phi(n) + n * phi(n)
+        phi = jnp.exp(-0.5 * n * n) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+        Phi = 0.5 * (1.0 + jax.lax.erf(n * (2.0 ** -0.5)))
+        return Phi + n * phi
+    if act == "elu":
+        return jnp.where(n > 0, 1.0, jnp.exp(jnp.minimum(n, 0.0)))
+    return jnp.ones_like(n)
+
+
 def _fused_bwd(act, res, ct):
+    """Analytic VJP: one Pallas conv recompute (pre-LN activations), the
+    standard per-position LayerNorm backward in XLA, a Pallas conv for
+    dx (rot-180 transposed kernel), and 9 shifted-slice matmuls for dw.
+    Same op count as XLA's own conv+LN backward-with-remat, but the two
+    convs run through the fast kernel layout."""
     x, w, g, b = res
-    _, vjp = jax.vjp(
-        lambda x, w, g, b: conv3x3_ln_act_reference(x, w, g, b, act=act),
-        x, w, g, b)
-    return vjp(ct)
+    interp = jax.default_backend() != "tpu"
+    f32 = jnp.float32
+    c = conv3x3_ln_act(x, w, act=None, fast=True, interpret=interp,
+                       out_dtype=f32)                      # (B,H,W,Co) f32
+    mu = jnp.mean(c, axis=-1, keepdims=True)
+    d0 = c - mu
+    inv = jax.lax.rsqrt(jnp.mean(d0 * d0, axis=-1, keepdims=True) + 1e-5)
+    xhat = d0 * inv
+    n = xhat * g.astype(f32) + b.astype(f32)
+
+    dn = ct.astype(f32) * _act_grad_at(act, n)
+    dg = jnp.sum(dn * xhat, axis=(0, 1, 2)).astype(g.dtype)
+    db = jnp.sum(dn, axis=(0, 1, 2)).astype(b.dtype)
+    dxh = dn * g.astype(f32)
+    dc = inv * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+                - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True))
+
+    # dx: conv with the rotated, io-transposed kernel
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))    # (3,3,Co,Ci)
+    dx = conv3x3_ln_act(dc, w_flip.astype(f32), act=None, fast=True,
+                        interpret=interp, out_dtype=f32)
+
+    # dw[ky,kx,ci,co] = sum_{b,y,x} xpad[b,y+ky-1,x+kx-1,ci] * dc[b,y,x,co]
+    B, H, W, _ = x.shape
+    xpad = jnp.pad(x.astype(f32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    dw = jnp.stack([
+        jnp.stack([
+            jnp.einsum("bhwc,bhwd->cd", xpad[:, ky:ky + H, kx:kx + W], dc,
+                       preferred_element_type=f32)
+            for kx in range(3)])
+        for ky in range(3)])                               # (3,3,Ci,Co)
+    return dx.astype(x.dtype), dw.astype(w.dtype), dg, db
 
 
 fused_conv_ln_act.defvjp(_fused_fwd, _fused_bwd)

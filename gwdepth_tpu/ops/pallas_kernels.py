@@ -19,8 +19,9 @@ TPU-shape notes (each learned the hard way):
 - erf/erfc have no lowering either, so exact GELU uses the A&S 7.1.26
   rational erf approximation (|err| <= 1.5e-7).
 
-Forward-only: training uses the differentiable XLA path in
-models/swin.py:RefAttnDiffusion.
+`ref_attn_diffusion` (the public entry) is differentiable: Pallas
+forward, custom VJP through the identical XLA formulation
+(models/swin.py:diffusion_xla).
 """
 
 from __future__ import annotations
@@ -136,3 +137,26 @@ def ref_attn_diffusion_pallas(a: jnp.ndarray, w: jnp.ndarray,
         interpret=interpret,
     )(a.reshape(B, P, RH).astype(jnp.float32), wrow, bias, T)
     return out.reshape(B, P, R, H).astype(a.dtype)
+
+
+@jax.custom_vjp
+def ref_attn_diffusion(a: jnp.ndarray, w: jnp.ndarray,
+                       b: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable diffusion: Pallas forward (interpret mode off-TPU),
+    VJP through the identical XLA formulation (swin.py:diffusion_xla)."""
+    return ref_attn_diffusion_pallas(
+        a, w, b, interpret=jax.default_backend() != "tpu")
+
+
+def _diff_fwd(a, w, b):
+    return ref_attn_diffusion(a, w, b), (a, w, b)
+
+
+def _diff_bwd(res, ct):
+    from gwdepth_tpu.models.swin import diffusion_xla
+    a, w, b = res
+    _, vjp = jax.vjp(diffusion_xla, a, w, b)
+    return vjp(ct)
+
+
+ref_attn_diffusion.defvjp(_diff_fwd, _diff_bwd)

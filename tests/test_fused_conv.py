@@ -109,3 +109,30 @@ def test_pyramid_fused_same_params_and_output():
     y2 = fused.apply(p1, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_diffusion_custom_vjp_grad_matches_xla():
+    """ref_attn_diffusion (Pallas fwd + custom VJP) must match grads of
+    the XLA formulation it backpropagates through."""
+    from gwdepth_tpu.models.swin import diffusion_xla
+    from gwdepth_tpu.ops.pallas_kernels import ref_attn_diffusion
+
+    kk = jax.random.fold_in(K, 20)
+    B, P, R, H = 1, 12, 8, 4
+    a = jax.nn.softmax(jax.random.normal(kk, (B, P, R, H)), axis=2)
+    w = jax.random.normal(jax.random.fold_in(K, 21), (3, 3, H, H)) * 0.2
+    b = jax.random.normal(jax.random.fold_in(K, 22), (H,)) * 0.1
+
+    yp, vjp_p = jax.vjp(ref_attn_diffusion, a, w, b)
+    yx, vjp_x = jax.vjp(diffusion_xla, a, w, b)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx),
+                               atol=1e-5, rtol=1e-4)
+    # identical cotangent -> identical grads (the custom VJP runs the XLA
+    # vjp at the same primals); forward-noise-amplified cotangents would
+    # only blur the comparison
+    ct = jax.random.normal(jax.random.fold_in(K, 23), yp.shape)
+    gp = vjp_p(ct)
+    gx = vjp_x(ct)
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                   atol=1e-5, rtol=1e-4)
