@@ -55,17 +55,29 @@ def test_kernel_residual():
                                atol=2e-5, rtol=1e-4)
 
 
-def test_fused_wrapper_grad_matches_reference():
+@pytest.mark.parametrize("act", ["gelu", "elu"])
+def test_fused_wrapper_grad_matches_reference(act):
+    """The analytic VJP (_fused_bwd) must match the autodiff of the XLA
+    reference chain for dx/dw/dg/db, with non-trivial LN params.
+
+    x/w are pre-rounded to bf16 so the fused path's bf16 tap cast is a
+    no-op and both chains see identical conv inputs — the comparison then
+    isolates the VJP math instead of forward-precision noise (gelu's
+    curvature near 0 amplifies a bf16-tap ulp into an O(1) relative
+    gradient difference on near-zero elements)."""
     ci = co = 8
     x = jax.random.normal(jax.random.fold_in(K, 8), (1, 6, 6, ci))
     w = jax.random.normal(jax.random.fold_in(K, 9), (3, 3, ci, co)) * 0.2
-    g = jnp.ones((co,)); b = jnp.zeros((co,))
+    x = x.astype(jnp.bfloat16).astype(jnp.float32)
+    w = w.astype(jnp.bfloat16).astype(jnp.float32)
+    g = jax.random.normal(jax.random.fold_in(K, 12), (co,)) * 0.2 + 1.0
+    b = jax.random.normal(jax.random.fold_in(K, 13), (co,)) * 0.3
 
     def loss_fused(x, w, g, b):
-        return jnp.sum(fused_conv_ln_act(x, w, g, b, "gelu") ** 2)
+        return jnp.sum(fused_conv_ln_act(x, w, g, b, act) ** 2)
 
     def loss_ref(x, w, g, b):
-        return jnp.sum(conv3x3_ln_act_reference(x, w, g, b, act="gelu") ** 2)
+        return jnp.sum(conv3x3_ln_act_reference(x, w, g, b, act=act) ** 2)
 
     gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, w, g, b)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, g, b)
