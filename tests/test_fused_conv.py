@@ -123,6 +123,46 @@ def test_pyramid_fused_same_params_and_output():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_model_loss_and_grads_pallas_vs_xla():
+    """Training with --use_pallas must optimize the same objective: the
+    full tiny-model loss and gradient direction with the fused kernels
+    (interpret mode on CPU) match the XLA path on identical params."""
+    from gwdepth_tpu.config import tiny_test_config
+    from gwdepth_tpu.data.batch import dummy_batch
+    from gwdepth_tpu.models import GlassRGBD
+    from gwdepth_tpu.parallel import compute_losses
+
+    cfg_x = tiny_test_config(batch_size=1)
+    cfg_p = cfg_x.replace(use_pallas=True)
+    batch = dummy_batch(cfg_x, 1)
+    mx, mp = GlassRGBD(cfg_x), GlassRGBD(cfg_p)
+    params = jax.jit(mx.init)(jax.random.PRNGKey(0), batch.images)["params"]
+    # the fused path must share the exact param tree (checkpoint compat)
+    pp = jax.eval_shape(mp.init, jax.random.PRNGKey(0),
+                        batch.images)["params"]
+    assert jax.tree_util.tree_structure(pp) == \
+        jax.tree_util.tree_structure(params)
+
+    def make_loss(model, cfg):
+        def f(params):
+            out = model.apply({"params": params}, batch.images, batch.valid,
+                              deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+            return compute_losses(cfg, out, batch)[0]
+        return f
+
+    lx, gx = jax.value_and_grad(make_loss(mx, cfg_x))(params)
+    lp, gp = jax.value_and_grad(make_loss(mp, cfg_p))(params)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=2e-2)
+
+    vx = jnp.concatenate([r.ravel() for r in jax.tree_util.tree_leaves(gx)])
+    vp = jnp.concatenate([r.ravel() for r in jax.tree_util.tree_leaves(gp)])
+    nx, npn = float(jnp.linalg.norm(vx)), float(jnp.linalg.norm(vp))
+    cos = float(jnp.vdot(vx, vp)) / (nx * npn)
+    assert cos > 0.99, cos
+    assert 0.9 < npn / nx < 1.1, (npn, nx)
+
+
 def test_diffusion_custom_vjp_grad_matches_xla():
     """ref_attn_diffusion (Pallas fwd + custom VJP) must match grads of
     the XLA formulation it backpropagates through."""
