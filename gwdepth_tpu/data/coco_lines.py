@@ -46,8 +46,9 @@ class CocoLinesDataset:
         cfg = self.cfg
         im_id = self.ids[idx]
         info = self.images[im_id]
-        image = Image.open(os.path.join(self.img_folder,
-                                        info["file_name"])).convert("RGB")
+        from gwdepth_tpu.data.dataset import _open_rgb
+        image = _open_rgb(os.path.join(self.img_folder,
+                                       info["file_name"]))
         w, h = image.size
         lines = np.asarray([a["line"] for a in self.anns[im_id]],
                            np.float64).reshape(-1, 4)

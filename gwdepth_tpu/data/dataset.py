@@ -36,6 +36,27 @@ from gwdepth_tpu.data.transforms import (
     Sample, centroid, train_transform, eval_transform)
 
 
+def _open_rgb(path: str) -> Image.Image:
+    """PNG -> PIL RGB image via the native decoder when built (bit-exact
+    with `Image.open(...).convert("RGB")`, tests/test_native_loader.py)."""
+    from gwdepth_tpu import native
+    if path.endswith(".png") and native.available():
+        arr = native.decode_png(path, rgb=True)
+        if arr is not None:
+            return Image.fromarray(arr)
+    return Image.open(path).convert("RGB")
+
+
+def _open_array(path: str) -> np.ndarray:
+    """PNG -> raw numpy array (native fast path; PIL fallback)."""
+    from gwdepth_tpu import native
+    if path.endswith(".png") and native.available():
+        arr = native.decode_png(path, rgb=False)
+        if arr is not None:
+            return arr
+    return np.asarray(Image.open(path))
+
+
 def gen_pairs(vertices: np.ndarray) -> np.ndarray:
     """Consecutive vertex pairs closing the loop
     (reference: src/util/commons.py:28-34): (N, 2) -> (N, 2, 2)."""
@@ -88,12 +109,10 @@ class GlassRGBDDataset:
     def load_raw(self, idx: int) -> Tuple[Sample, str]:
         cfg = self.cfg
         name = self.names[idx]
-        image = Image.open(os.path.join(cfg.data_path, name + ".png")) \
-            .convert("RGB")
-        depth = np.asarray(Image.open(
-            os.path.join(cfg.gt_depth_path, name + ".png"))).astype(np.int32)
-        seg = np.asarray(Image.open(
-            os.path.join(cfg.gt_seg_path, name + ".png")))
+        image = _open_rgb(os.path.join(cfg.data_path, name + ".png"))
+        depth = _open_array(
+            os.path.join(cfg.gt_depth_path, name + ".png")).astype(np.int32)
+        seg = _open_array(os.path.join(cfg.gt_seg_path, name + ".png"))
         if seg.ndim == 3:
             seg = seg[..., 0]
         with open(os.path.join(cfg.gt_line_path, name + ".json")) as f:

@@ -44,10 +44,10 @@ class DepthOnlyDataset:
                     ) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rgb_rel, depth_rel = self.pairs[idx]
-        image = Image.open(os.path.join(self.root,
-                                        rgb_rel.lstrip("/"))).convert("RGB")
-        depth = np.asarray(Image.open(
-            os.path.join(self.root, depth_rel.lstrip("/")))).astype(np.int32)
+        from gwdepth_tpu.data.dataset import _open_array, _open_rgb
+        image = _open_rgb(os.path.join(self.root, rgb_rel.lstrip("/")))
+        depth = _open_array(
+            os.path.join(self.root, depth_rel.lstrip("/"))).astype(np.int32)
         h, w = depth.shape[:2]
         s = Sample(image, depth, np.zeros((h, w), np.uint8),
                    np.zeros((0, 4)), np.zeros((0, 2)),

@@ -238,13 +238,17 @@ def crop(s: Sample, top: int, left: int, h: int, w: int) -> Sample:
 # photometric ops
 # ---------------------------------------------------------------------------
 
-def adjust_hue(img: Image.Image, factor: float) -> Image.Image:
-    """torchvision-equivalent hue rotation via the HSV channel."""
+def adjust_hue(img: Image.Image, factor: float,
+               shift: int = None) -> Image.Image:
+    """torchvision-equivalent hue rotation via the HSV channel. `shift`
+    (integer uint8 steps) takes precedence over `factor` when given."""
     if img.mode != "RGB":
         return img
+    if shift is None:
+        shift = int(factor * 255)
     h, sat, v = img.convert("HSV").split()
     np_h = np.asarray(h, np.uint8)
-    np_h = (np_h.astype(np.int16) + int(factor * 255)) % 256
+    np_h = (np_h.astype(np.int16) + shift) % 256
     h = Image.fromarray(np_h.astype(np.uint8), "L")
     return Image.merge("HSV", (h, sat, v)).convert("RGB")
 
@@ -253,11 +257,26 @@ def color_jitter(img: Image.Image, rng: random.Random,
                  strength: float = 0.4) -> Image.Image:
     """Brightness/contrast/saturation/hue, random order, factors
     U(1-s, 1+s) (hue U(-s, s)) — reference ColorJitter(0.4)
-    (transforms_depth.py:548-600, coco.py:96)."""
+    (transforms_depth.py:548-600, coco.py:96).
+
+    Runs the fused native kernel when built (bit-exact with the PIL chain
+    below, tests/test_native_loader.py); the factor draw order is identical
+    on both paths so seeded pipelines agree everywhere."""
     ops = list(range(4))
     rng.shuffle(ops)
+    factors = []
     for op in ops:
         f = rng.uniform(1 - strength, 1 + strength)
+        factors.append(int(rng.uniform(-strength, strength) * 255)
+                       if op == 3 else f)
+
+    from gwdepth_tpu import native
+    if native.available() and img.mode == "RGB":
+        out = native.color_jitter(np.asarray(img), ops, factors)
+        if out is not None:
+            return Image.fromarray(out)
+
+    for op, f in zip(ops, factors):
         if op == 0:
             img = ImageEnhance.Brightness(img).enhance(f)
         elif op == 1:
@@ -265,7 +284,7 @@ def color_jitter(img: Image.Image, rng: random.Random,
         elif op == 2:
             img = ImageEnhance.Color(img).enhance(f)
         else:
-            img = adjust_hue(img, rng.uniform(-strength, strength))
+            img = adjust_hue(img, 0.0, shift=f)
     return img
 
 
@@ -273,8 +292,16 @@ def normalize(s: Sample) -> Sample:
     """to float, channel-normalize, coords -> [0, 1]
     (transforms_depth.py:631-659)."""
     s = s.copy()
-    img = np.asarray(s.image, np.float32) / 255.0
-    img = (img - MEAN) / STD
+    from gwdepth_tpu import native
+    img = None
+    if native.available() and getattr(s.image, "mode", None) == "RGB":
+        # fused single-pass (u8/255 - mean)/std — float32 op-for-op with
+        # the numpy expression below (tests/test_native_loader.py)
+        u8 = np.asarray(s.image)
+        img = native.normalize_pad(u8, u8.shape[:2], MEAN, STD)
+    if img is None:
+        img = np.asarray(s.image, np.float32) / 255.0
+        img = (img - MEAN) / STD
     h, w = img.shape[:2]
     s.image = img
     if len(s.lines):
