@@ -116,6 +116,24 @@ def _map_swin_attn(params, dst, rest, val, has_tokens: bool):
     # forward -> ignored
 
 
+def _map_token_fuse(params, dst, rest, val):
+    """PointGuidedTokenFuse (geometry_utils.py:535-652), reachable when a
+    block is built with token_fuse=True (multiscale_transformerr.py:633)."""
+    name = rest[0]
+    if name in ("xseg_proj", "xdth_proj", "kv_refer_depth", "q_seg",
+                "mlpctx"):
+        _put_linear(params, f"{dst}/{name}/{rest[1]}", rest[2], val)
+    elif name in ("norm_seg", "norm_fuse") or name.startswith("convctx_norm"):
+        _put_norm(params, f"{dst}/{name}", rest[1], val)
+    elif name in ("fuse_proj", "fused_depth_proj", "mutil_depth_fuse"):
+        _put_linear(params, f"{dst}/{name}", rest[1], val)
+    elif name.startswith("convctx_pre"):
+        # Sequential(ConvA, ConvA) -> convctx_preK_{0,1}/conv
+        _put_conv(params, f"{dst}/{name}_{rest[1]}/conv", rest[3], val)
+    elif name.startswith("convctx_after"):
+        _put_conv(params, f"{dst}/{name}/conv", rest[2], val)
+
+
 def _map_swin_block(params, dst, rest, val):
     """(multiscale_transformerr.py:601-644)."""
     name = rest[0]
@@ -126,6 +144,8 @@ def _map_swin_block(params, dst, rest, val):
         _put_norm(params, f"{dst}/{name}", rest[1], val)
     elif name in ("mlp", "mlp_depth", "mlp_seg"):
         _put_linear(params, f"{dst}/{name}/{rest[1]}", rest[2], val)
+    elif name == "token_relation":
+        _map_token_fuse(params, f"{dst}/token_relation", rest[1:], val)
 
 
 def _map_basic_layer(params, dst, rest, val):

@@ -247,6 +247,23 @@ def get_ref():
     return _ref_cache
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def cuda_as_cpu():
+    """Make .cuda() a no-op so reference modules that hardcode CUDA
+    placement (PlaneLoss, src/models/glassrgbd.py:392,405-441) run on this
+    CPU-only box.  Restores the real methods on exit."""
+    t_cuda, m_cuda = torch.Tensor.cuda, tnn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    tnn.Module.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda, tnn.Module.cuda = t_cuda, m_cuda
+
+
 # ---------------------------------------------------------------------------
 # reference args namespace
 # ---------------------------------------------------------------------------
