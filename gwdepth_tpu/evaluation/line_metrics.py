@@ -236,9 +236,12 @@ def dump_gt_lines(dataset, out_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 def _pline(x1, y1, x2, y2, x, y) -> float:
+    """Squared point-to-LINE distance: the projection is NOT clamped to the
+    segment (reference eval_post_online.py:17-25 `pline`; the clamped
+    variant is its separate `psegment`, which the NMS never uses)."""
     px, py = x2 - x1, y2 - y1
     dd = px * px + py * py
-    u = max(min(((x - x1) * px + (y - y1) * py) / max(float(dd), 1e-9), 1), 0)
+    u = ((x - x1) * px + (y - y1) * py) / max(float(dd), 1e-9)
     dx = x1 + u * px - x
     dy = y1 + u * py - y
     return dx * dx + dy * dy

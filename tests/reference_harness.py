@@ -181,6 +181,16 @@ def install_stubs():
         sys.modules["timm.models.layers"] = layers
     if "imp" not in sys.modules:
         sys.modules["imp"] = types.ModuleType("imp")  # removed in py3.12
+    if "skimage" not in sys.modules:  # lcnn/trainer.py:16, unused here
+        sk = types.ModuleType("skimage")
+        sk.io = types.ModuleType("skimage.io")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = sk.io
+    # evaluation/lcnn/metric.py uses the np.bool/np.float aliases numpy
+    # removed in 1.24
+    for name, alias in (("bool", bool), ("float", float), ("int", int)):
+        if not hasattr(np, name):
+            setattr(np, name, alias)
     if "docopt" not in sys.modules:  # evaluation/eval_post_online.py:15
         doc = types.ModuleType("docopt")
         doc.docopt = lambda *a, **k: {}
@@ -238,6 +248,7 @@ def get_ref():
             "src.models.points.points_sample",
             "src.models.geometry_utils",
             "models.multiscale_transformerr",
+            "models.swin_transformer",
             "models.dense_upsample",
             "models.glassrgbd",
             "util.misc",
@@ -245,6 +256,29 @@ def get_ref():
         mods[name.split(".")[-1]] = importlib.import_module(name)
     _ref_cache = SimpleNamespace(**mods)
     return _ref_cache
+
+
+_ref_eval_cache = None
+
+
+def get_ref_eval():
+    """Import the reference's eval/metric layer (cached): util.metrics,
+    the vendored L-CNN metric module, and the offline line postprocess."""
+    global _ref_eval_cache
+    if _ref_eval_cache is not None:
+        return _ref_eval_cache
+    install_stubs()
+    for p in (REF, f"{REF}/src", f"{REF}/evaluation"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+    mods = {
+        "metrics": importlib.import_module("util.metrics"),
+        "lcnn_metric": importlib.import_module("lcnn.metric"),
+        "eval_post_online": importlib.import_module("eval_post_online"),
+    }
+    _ref_eval_cache = SimpleNamespace(**mods)
+    return _ref_eval_cache
 
 
 import contextlib
