@@ -217,14 +217,168 @@ def install_stubs():
                 return (t - mean) / std
 
         tv_transforms.Normalize = _Normalize
+
+        # --- PIL-backed functional shims for datasets/transforms_depth.py.
+        # The line/center/aux-map math under parity test lives in the
+        # reference module itself; these shims only carry the raster ops.
+        from PIL import Image as _PILImage
+
+        class _Interp:
+            NEAREST = _PILImage.NEAREST
+            BILINEAR = _PILImage.BILINEAR
+
+        tv_func = types.ModuleType("torchvision.transforms.functional")
+        tv_func.hflip = lambda im: im.transpose(_PILImage.FLIP_LEFT_RIGHT)
+        tv_func.vflip = lambda im: im.transpose(_PILImage.FLIP_TOP_BOTTOM)
+        tv_func.crop = lambda im, top, left, h, w: \
+            im.crop((left, top, left + w, top + h))
+
+        def _tv_resize(im, size, interpolation=_Interp.BILINEAR, **kw):
+            h, w = size  # transforms_depth always passes an (h, w) pair
+            return im.resize((int(w), int(h)), interpolation)
+
+        def _tv_to_tensor(im):
+            arr = np.asarray(im, dtype=np.float32) / 255.0
+            return torch.from_numpy(arr).permute(2, 0, 1).contiguous()
+
+        def _tv_normalize(t, mean, std, inplace=False):
+            mean = torch.as_tensor(mean, dtype=t.dtype)[:, None, None]
+            std = torch.as_tensor(std, dtype=t.dtype)[:, None, None]
+            return (t - mean) / std
+
+        tv_func.resize = _tv_resize
+        tv_func.to_tensor = _tv_to_tensor
+        tv_func.normalize = _tv_normalize
+        tv_transforms.functional = tv_func
+        tv_transforms.InterpolationMode = _Interp
+
+        class _RandomCrop:
+            @staticmethod
+            def get_params(img, output_size):
+                import random as _random
+                w, h = img.size
+                th, tw = output_size
+                return (_random.randint(0, h - th),
+                        _random.randint(0, w - tw), th, tw)
+
+        tv_transforms.RandomCrop = _RandomCrop
+        tv_datasets = types.ModuleType("torchvision.datasets")
+
+        class _CocoDetection(torch.utils.data.Dataset):
+            """Base-class shim: datasets/coco.py subclasses it at import
+            time; these tests never instantiate it."""
+
+        tv_datasets.CocoDetection = _CocoDetection
+        tv.datasets = tv_datasets
+        sys.modules["torchvision.datasets"] = tv_datasets
         tv.transforms = tv_transforms
         sys.modules["torchvision.transforms"] = tv_transforms
+        sys.modules["torchvision.transforms.functional"] = tv_func
         tv.models = tv_models
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv_models
         sys.modules["torchvision.models._utils"] = tv_utils
+    if "shapely" not in sys.modules:
+        _install_shapely_stub()
     import matplotlib
     matplotlib.use("Agg")
+
+
+def _install_shapely_stub():
+    """shapely is not installed in this image; both the reference
+    (transforms_depth.py:21,32-44) and our data/transforms.py use it only
+    for rectangle-x-polygon intersection during crop center recompute.
+    This stub implements that one case exactly (Sutherland-Hodgman against
+    the convex crop rectangle) with the shapely API surface both sides
+    touch.  NOTE: because BOTH sides import this same stub, the clip
+    geometry itself is shared-implementation; the parity tests cross-check
+    everything around it (when the fallback fires, vertex bookkeeping,
+    clamping, flip handling)."""
+
+    def _clip(subject, clipper):
+        def inside(p, a, b, sign):
+            return sign * ((b[0] - a[0]) * (p[1] - a[1])
+                           - (b[1] - a[1]) * (p[0] - a[0])) >= 0
+
+        def isect(a, b, p, q):
+            x1, y1, x2, y2 = a[0], a[1], b[0], b[1]
+            x3, y3, x4, y4 = p[0], p[1], q[0], q[1]
+            den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+            t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+            return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+        n = len(clipper)
+        area2 = sum(clipper[k][0] * clipper[(k + 1) % n][1]
+                    - clipper[(k + 1) % n][0] * clipper[k][1]
+                    for k in range(n))
+        sign = 1.0 if area2 > 0 else -1.0
+        out = list(subject)
+        for k in range(n):
+            a, b = clipper[k], clipper[(k + 1) % n]
+            inp, out = out, []
+            if not inp:
+                break
+            for idx in range(len(inp)):
+                p, q = inp[idx - 1], inp[idx]
+                if inside(q, a, b, sign):
+                    if not inside(p, a, b, sign):
+                        out.append(isect(a, b, p, q))
+                    out.append(q)
+                elif inside(p, a, b, sign):
+                    out.append(isect(a, b, p, q))
+        return out
+
+    class Polygon:
+        def __init__(self, coords):
+            c = [tuple(map(float, p)) for p in coords]
+            if len(c) > 1 and c[0] == c[-1]:
+                c = c[:-1]
+            self._c = c
+
+        geom_type = "Polygon"
+
+        @property
+        def is_empty(self):
+            return len(self._c) < 3
+
+        @property
+        def exterior(self):
+            return SimpleNamespace(coords=self._c + self._c[:1])
+
+        def intersection(self, other):
+            return Polygon(_clip(other._c, self._c))
+
+    def mapping(geom):
+        if geom.is_empty:
+            return {"type": "Polygon", "coordinates": []}
+        return {"type": "Polygon",
+                "coordinates": [list(geom.exterior.coords)]}
+
+    shp = types.ModuleType("shapely")
+    geo = types.ModuleType("shapely.geometry")
+    geo.Polygon = Polygon
+    geo.mapping = mapping
+    shp.geometry = geo
+    sys.modules["shapely"] = shp
+    sys.modules["shapely.geometry"] = geo
+
+
+_ref_data_cache = None
+
+
+def get_ref_data():
+    """Import the reference's data-transform layer (cached)."""
+    global _ref_data_cache
+    if _ref_data_cache is not None:
+        return _ref_data_cache
+    install_stubs()
+    for p in (REF, f"{REF}/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+    _ref_data_cache = SimpleNamespace(
+        transforms_depth=importlib.import_module("datasets.transforms_depth"))
+    return _ref_data_cache
 
 
 def get_ref():

@@ -1,0 +1,175 @@
+"""Reference-code parity for the joint data transforms.
+
+Imports the ACTUAL reference transform suite
+(/root/reference/src/datasets/transforms_depth.py) through
+reference_harness (PIL-backed torchvision-functional shims carry the
+raster ops; the line/center/aux-map math under test is the real reference
+code) and asserts our data/transforms.py agrees on:
+
+  * crop — line removal, slope-aware clamping, polygon-center recompute
+    incl. the <=3-surviving-lines rectangle-x-polygon fallback
+    (transforms_depth.py:59-203)
+  * hflip / vflip — endpoint reorder rules (:206-263)
+  * crop after hflip — the flipped-loop detection in center recompute
+    (:139-141)
+  * resize — shorter-side/max_size sizing and line/center/aux scaling
+    (:316-372)
+  * Normalize — coordinate [0,1] normalization + channel stats (:631-659)
+
+shapely is absent in this image: both sides resolve the rectangle-polygon
+intersection through the SAME harness stub (exact Sutherland-Hodgman), so
+the clip geometry itself is shared-implementation; everything around it
+(branch selection, vertex bookkeeping, clamping) is genuinely
+cross-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from reference_harness import get_ref_data
+
+from gwdepth_tpu.data import transforms as mytr
+
+
+@pytest.fixture(scope="module")
+def refd():
+    return get_ref_data()
+
+
+def make_case(seed: int, H: int = 64, W: int = 96):
+    """Two closed polygons (5-gon + quad) on a random image, as both a
+    Sample (ours) and (PIL image, target dict, aux_mats) (reference)."""
+    rng = np.random.default_rng(seed)
+    img_arr = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    depth = rng.uniform(500, 8000, (H, W)).astype(np.float32)
+    seg = (rng.random((H, W)) > 0.5).astype(np.uint8)
+
+    lines_list, ids, centers = [], [], []
+    for pid, (cx, cy, rad, k) in enumerate([(30, 25, 18, 5),
+                                            (70, 42, 14, 4)]):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        vs = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], -1)
+        ln = np.stack([np.concatenate([vs[i], vs[(i + 1) % k]])
+                       for i in range(k)])
+        lines_list.append(ln)
+        ids += [pid] * k
+        centers.append(np.tile(vs.mean(0), (k, 1)))
+    lines = np.concatenate(lines_list).astype(np.float32)
+    centers = np.concatenate(centers).astype(np.float32)
+    ids = np.asarray(ids, np.int64)
+
+    sample = mytr.Sample(Image.fromarray(img_arr, "RGB"), depth.copy(),
+                         seg.copy(), lines.copy(), centers.copy(),
+                         ids.copy())
+    n = len(lines)
+    target = {"lines": torch.from_numpy(lines.copy()),
+              "poly_centers": torch.from_numpy(centers.copy()),
+              "poly_ids": torch.from_numpy(ids.copy()),
+              "labels": torch.zeros(n, dtype=torch.int64),
+              "area": torch.zeros(n), "iscrowd": torch.zeros(n),
+              "size": torch.tensor([H, W])}
+    aux = [Image.fromarray(depth, mode="F"), Image.fromarray(seg, mode="L")]
+    return sample, Image.fromarray(img_arr, "RGB"), target, aux
+
+
+def _assert_same(s: mytr.Sample, img_t, target, aux, atol=1e-4):
+    np.testing.assert_array_equal(np.asarray(s.image), np.asarray(img_t),
+                                  err_msg="image")
+    np.testing.assert_allclose(s.lines, target["lines"].numpy(), atol=atol,
+                               err_msg="lines")
+    np.testing.assert_allclose(s.centers, target["poly_centers"].numpy(),
+                               atol=atol, err_msg="poly centers")
+    np.testing.assert_array_equal(s.poly_ids, target["poly_ids"].numpy(),
+                                  err_msg="poly ids")
+    np.testing.assert_allclose(s.depth, np.asarray(aux[0]), atol=1e-4,
+                               err_msg="depth map")
+    np.testing.assert_array_equal(s.seg, np.asarray(aux[1]), err_msg="seg")
+
+
+def test_crop_partial_vs_reference(refd):
+    """Region cutting through both polygons: slope clamp + vertex-mean
+    center recompute (>3 lines survive)."""
+    sample, img, target, aux = make_case(0)
+    region = (10, 22, 40, 60)  # i, j, h, w
+    img_t, tgt_t, aux_t = refd.transforms_depth.crop(img, target, region,
+                                                     aux_mats=list(aux))
+    mine = mytr.crop(sample, *region)
+    _assert_same(mine, img_t, tgt_t, aux_t)
+
+
+def test_crop_fallback_vs_reference(refd):
+    """Tight region leaving <=3 lines of the 5-gon: the rectangle-polygon
+    intersection fallback recomputes the center (:155-172)."""
+    sample, img, target, aux = make_case(1)
+    region = (30, 44, 34, 52)  # leaves 1 line of poly 0, 4 of poly 1
+    img_t, tgt_t, aux_t = refd.transforms_depth.crop(img, target, region,
+                                                     aux_mats=list(aux))
+    # the fallback branch must actually fire for at least one polygon
+    ids = tgt_t["poly_ids"].numpy()
+    assert any(0 < (ids == p).sum() <= 3 for p in np.unique(ids)), \
+        "test region no longer exercises the <=3-line fallback"
+    mine = mytr.crop(sample, *region)
+    _assert_same(mine, img_t, tgt_t, aux_t)
+
+
+def test_crop_after_hflip_vs_reference(refd):
+    """The center recompute detects a prior hflip from endpoint ordering
+    (:139-141) — run hflip, then a crop with both branches reachable."""
+    sample, img, target, aux = make_case(2)
+    img, target, aux = refd.transforms_depth.hflip(img, target,
+                                                   aux_mats=list(aux))
+    sample = mytr.hflip(sample)
+    region = (5, 10, 45, 55)
+    img_t, tgt_t, aux_t = refd.transforms_depth.crop(img, target, region,
+                                                     aux_mats=list(aux))
+    mine = mytr.crop(sample, *region)
+    _assert_same(mine, img_t, tgt_t, aux_t)
+
+
+def test_hflip_vflip_vs_reference(refd):
+    sample, img, target, aux = make_case(3)
+    img_t, tgt_t, aux_t = refd.transforms_depth.hflip(img, target,
+                                                      aux_mats=list(aux))
+    _assert_same(mytr.hflip(sample), img_t, tgt_t, aux_t)
+
+    sample, img, target, aux = make_case(4)
+    # make one line exactly vertical to hit the vflip reorder rule (:245-247)
+    target["lines"][0, 2] = target["lines"][0, 0]
+    sample.lines[0, 2] = sample.lines[0, 0]
+    img_t, tgt_t, aux_t = refd.transforms_depth.vflip(img, target,
+                                                      aux_mats=list(aux))
+    _assert_same(mytr.vflip(sample), img_t, tgt_t, aux_t)
+
+
+def test_resize_vs_reference(refd):
+    # scalar size: shorter-side semantics with max_size clamp (:319-343)
+    for size, max_size in [(48, None), (48, 60), (200, 120)]:
+        sample, img, target, aux = make_case(5)
+        img_t, tgt_t, aux_t = refd.transforms_depth.resize(
+            img, target, size, max_size=max_size, aux_mats=list(aux))
+        mine = mytr.resize(sample, size, max_size=max_size)
+        _assert_same(mine, img_t, tgt_t, aux_t)
+    # (w, h) pair (:361-363 size[::-1] quirk)
+    sample, img, target, aux = make_case(6)
+    img_t, tgt_t, aux_t = refd.transforms_depth.resize(
+        img, target, (40, 30), aux_mats=list(aux))
+    mine = mytr.resize(sample, (40, 30))
+    _assert_same(mine, img_t, tgt_t, aux_t)
+
+
+def test_normalize_vs_reference(refd):
+    sample, img, target, aux = make_case(7)
+    t_img = refd.transforms_depth.ToTensor()(img, target, aux_mats=aux)[0]
+    img_t, tgt_t, _ = refd.transforms_depth.Normalize(
+        list(mytr.MEAN), list(mytr.STD))(t_img, target, aux_mats=aux)
+    mine = mytr.normalize(sample)
+    np.testing.assert_allclose(mine.image.transpose(2, 0, 1),
+                               img_t.numpy(), atol=1e-5, err_msg="image")
+    np.testing.assert_allclose(mine.lines, tgt_t["lines"].numpy(),
+                               atol=1e-6, err_msg="lines")
+    np.testing.assert_allclose(mine.centers, tgt_t["poly_centers"].numpy(),
+                               atol=1e-6, err_msg="centers")
