@@ -377,7 +377,9 @@ def get_ref_data():
             sys.path.insert(0, p)
     import importlib
     _ref_data_cache = SimpleNamespace(
-        transforms_depth=importlib.import_module("datasets.transforms_depth"))
+        transforms_depth=importlib.import_module("datasets.transforms_depth"),
+        glassrgbd_norhint=importlib.import_module(
+            "datasets.glassrgbd_norhint"))
     return _ref_data_cache
 
 
