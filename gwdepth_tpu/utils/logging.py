@@ -38,7 +38,12 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
-        return float(np.median(self.deque)) if self.deque else 0.0
+        # torch.median semantics: LOWER of the two middle values for even
+        # counts (reference misc.py:57-59), not numpy's midpoint average
+        if not self.deque:
+            return 0.0
+        d = sorted(self.deque)
+        return float(d[(len(d) - 1) // 2])
 
     @property
     def avg(self) -> float:

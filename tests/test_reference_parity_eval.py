@@ -213,6 +213,54 @@ def test_learned_posemb_vs_reference(ref):
 
 
 # ---------------------------------------------------------------------------
+# SNE surface normals (offline toolchain)
+# ---------------------------------------------------------------------------
+
+def test_sne_vs_reference(ref):
+    import importlib
+
+    from reference_harness import cuda_as_cpu
+    sne_t = importlib.import_module("models.sne_model")
+    rng = np.random.default_rng(23)
+    H, W = 24, 32
+    depth = rng.uniform(0.5, 8.0, (H, W)).astype(np.float32)
+    cam = np.array([[320.0, 0.0, 16.3], [0.0, 318.0, 12.1],
+                    [0.0, 0.0, 1.0]], np.float32)
+    with cuda_as_cpu(), torch.no_grad():
+        # the reference forward mutates its depth argument — pass a copy
+        out_t = sne_t.SNE()(torch.from_numpy(depth.copy()),
+                            torch.from_numpy(cam))
+
+    from gwdepth_tpu.tools.sne import sne_normals
+    out_j = sne_normals(jnp.asarray(depth), jnp.asarray(cam))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               atol=2e-4, rtol=1e-3, err_msg="normals")
+
+
+# ---------------------------------------------------------------------------
+# SmoothedValue meter semantics
+# ---------------------------------------------------------------------------
+
+def test_smoothed_value_vs_reference(ref):
+    from gwdepth_tpu.utils.logging import SmoothedValue
+    rng = np.random.default_rng(29)
+    rv = ref.misc.SmoothedValue(window_size=7)
+    mv = SmoothedValue(window_size=7)
+    vals = rng.standard_normal(23).astype(np.float32)
+    for i, v in enumerate(vals):
+        rv.update(float(v), n=int(1 + i % 3))
+        mv.update(float(v), n=int(1 + i % 3))
+        # even/odd deque fills both hit torch's lower-median rule
+        np.testing.assert_allclose(mv.median, rv.median, rtol=1e-6,
+                                   err_msg=f"median @{i}")
+        np.testing.assert_allclose(mv.avg, rv.avg, rtol=1e-6)
+        np.testing.assert_allclose(mv.global_avg, rv.global_avg, rtol=1e-6)
+        np.testing.assert_allclose(mv.max, rv.max, rtol=1e-6)
+        np.testing.assert_allclose(mv.value, rv.value, rtol=1e-6)
+    assert str(mv) == str(rv)
+
+
+# ---------------------------------------------------------------------------
 # plain Swin window attention (with_line=False fallback)
 # ---------------------------------------------------------------------------
 
