@@ -25,32 +25,44 @@ def _seed() -> int:
     return int.from_bytes(os.urandom(8), "little") % (2 ** 31)
 
 
-def timed_scan(fn, xs, n_loop: int = 16, n_rep: int = 8):
-    """Median wall time of `fn(*xs)` amortized over an in-jit scan."""
+def timed_scan(fn, xs, n_rep: int = 6):
+    """Per-iteration wall time of `fn(*xs)` by the SLOPE method: time the
+    same in-jit scan at n=8 and n=32 trips and divide the difference by
+    24.  Dividing ONE blocked call by its trip count inflates the result
+    by (fixed ~30-40 ms tunnel dispatch)/n — the slope cancels it
+    (CLAUDE.md measurement notes; verified against bench.py's sustained
+    pipeline numbers)."""
 
-    @jax.jit
-    def run(args, noise):
-        def body(carry, eps):
-            out = fn(*[a + eps * 0 for a in args])
-            # fold the output back in so iterations cannot be elided; add
-            # the (zero-scaled) noise so the loop is not loop-invariant
-            s = sum(jnp.sum(o) for o in jax.tree.leaves(out))
-            return carry + s + eps * 0, ()
+    def make(n_loop):
+        @jax.jit
+        def run(args, noise):
+            def body(carry, eps):
+                out = fn(*[a + eps * 0 for a in args])
+                # fold the output back in so iterations cannot be elided;
+                # the (zero-scaled) noise keeps the loop non-invariant
+                s = sum(jnp.sum(o) for o in jax.tree.leaves(out))
+                return carry + s + eps * 0, ()
 
-        total, _ = jax.lax.scan(body, 0.0, noise)
-        return total
+            total, _ = jax.lax.scan(body, 0.0, noise)
+            return total
+        return run
 
     key = jax.random.PRNGKey(_seed())
-    times = []
+    runs = {n: make(n) for n in (8, 32)}
+    times = {8: [], 32: []}
     for r in range(n_rep + 1):
-        noise = jax.random.normal(jax.random.fold_in(key, r), (n_loop,))
-        t0 = time.perf_counter()
-        run(args=xs, noise=noise).block_until_ready()
-        dt = time.perf_counter() - t0
-        if r:                       # first rep is compile+warm
-            times.append(dt / n_loop)
-    times.sort()
-    return times[len(times) // 2]
+        for n in (8, 32):
+            noise = jax.random.normal(jax.random.fold_in(key, 2 * r + n),
+                                      (n,))
+            t0 = time.perf_counter()
+            # float() forces execution through the tunnel even for scalar
+            # outputs (block_until_ready alone can return early, CLAUDE.md)
+            float(runs[n](args=xs, noise=noise))
+            dt = time.perf_counter() - t0
+            if r:                   # first rep is compile+warm
+                times[n].append(dt)
+    med = {n: sorted(ts)[len(ts) // 2] for n, ts in times.items()}
+    return (med[32] - med[8]) / 24.0
 
 
 def bench_pyramid():
@@ -124,6 +136,39 @@ def bench_eval_fwd(use_pallas: bool):
     return round((time.perf_counter() - t0) / n * 1e3, 2)
 
 
+def bench_fwd_variants():
+    """Slope-measured full-forward time under feature-gate ablations:
+    the difference vs 'full' prices each component at eval size."""
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.models import GlassRGBD
+    variants = {
+        "full": {},
+        "pallas": {"use_pallas": True},
+        "no_line": {"with_line": False},
+        "no_point_pred": {"depth_sample_layers": (False, False, False)},
+        "class_layers_111": {"class_trans_layers": (1, 1, 1)},
+        "dense_layers_2": {"dense_trans_layers": (2,)},
+    }
+    out = {}
+    for tag, kw in variants.items():
+        try:
+            cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0, **kw)
+            model = GlassRGBD(cfg)
+            x = jax.random.normal(jax.random.PRNGKey(_seed()),
+                                  (1, *cfg.eval_hw, 3))
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+            def fwd(img):
+                o = model.apply(params, img)
+                return (o["pred_depth"][-1], o["pred_seg"],
+                        o["pred_logits"])
+
+            out[tag] = round(timed_scan(fwd, (x,), n_rep=3) * 1e3, 2)
+        except Exception as e:
+            out[tag] = f"FAILED: {type(e).__name__}: {e}"[:120]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="pyramid,sample,diffusion")
@@ -139,6 +184,8 @@ def main():
     if "fwd" in what:
         res["eval_fwd_ms"] = {"xla": bench_eval_fwd(False),
                               "pallas": bench_eval_fwd(True)}
+    if "variants" in what:
+        res["fwd_variants_ms"] = bench_fwd_variants()
     print(json.dumps(res, indent=1))
 
 
