@@ -443,6 +443,71 @@ def test_full_model_forward_vs_reference(ref):
                atol=1e-3, rtol=1e-2, msg=f"aux logits {i}")
 
 
+def test_full_model_grad_vs_reference(ref):
+    """Training-path equivalence: d(loss)/d(input) through the ENTIRE
+    model (backbone -> DETR -> 4-scale dense encoder -> decoder) must
+    match the real reference's autograd.  The loss is a fixed random
+    projection of every differentiable output head, so the gradient
+    exercises each branch's chain rule; selection ops (top-k, nearest
+    grid-sample) contribute identical subgradients in both frameworks.
+    Compared by cosine similarity + relative L2 (elementwise float32
+    conv-backward noise is larger than forward noise)."""
+    cfg = GWDepthConfig(
+        enc_layers=1, dec_layers=1, dim_feedforward=128, num_queries=20,
+        dropout=0.0, dense_trans_layers=(1,), class_trans_layers=(1, 1, 1),
+        group_attention_layers=((False,), (False,), (False,)),
+        train_hw=(224, 320), eval_hw=(224, 320))
+    args = make_ref_args(cfg)
+    torch.manual_seed(6)
+    model_t, _, _ = ref.glassrgbd.build(args)
+    model_t.eval()
+
+    rng = np.random.default_rng(31)
+    B, H, W = 1, *cfg.train_hw
+    img = rng.standard_normal((B, H, W, 3), dtype=np.float32)
+    w_depth = rng.standard_normal((H, W), dtype=np.float32)
+    w_seg = rng.standard_normal((H, W, 2), dtype=np.float32)
+    w_log = rng.standard_normal((cfg.num_queries, 2), dtype=np.float32)
+    w_lin = rng.standard_normal((cfg.num_queries, 6), dtype=np.float32)
+
+    img_t = nchw(img).requires_grad_(True)
+    nt = ref.misc.NestedTensor(img_t, torch.zeros((B, H, W),
+                                                  dtype=torch.bool))
+    out_t = model_t(nt)
+    loss_t = ((out_t["pred_depth"][-1][0, 0] * torch.from_numpy(w_depth)).sum()
+              + (out_t["pred_seg"][0].permute(1, 2, 0)
+                 * torch.from_numpy(w_seg)).sum()
+              + (out_t["pred_logits"][0] * torch.from_numpy(w_log)).sum()
+              + (out_t["pred_lines"][0] * torch.from_numpy(w_lin)).sum())
+    loss_t.backward()
+    g_t = img_t.grad.numpy().transpose(0, 2, 3, 1)   # NHWC
+
+    from gwdepth_tpu.models import GlassRGBD
+    m = GlassRGBD(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, 3)))["params"]
+    overlay = glassrgbd_torch_to_flax(state_dict_numpy(model_t))
+    cov, total, missing = coverage(overlay, params)
+    assert cov == total, f"uncovered {len(missing)}/{total}: {missing[:10]}"
+    params = merge_params(params, overlay)
+
+    def loss_j(image):
+        o = m.apply({"params": params}, image)
+        return (jnp.sum(o["pred_depth"][-1][0] * w_depth)
+                + jnp.sum(o["pred_seg"][0] * w_seg)
+                + jnp.sum(o["pred_logits"][0] * w_log)
+                + jnp.sum(o["pred_lines"][0] * w_lin))
+
+    l_j, g_j = jax.value_and_grad(loss_j)(jnp.asarray(img))
+    np.testing.assert_allclose(float(l_j), float(loss_t), rtol=2e-3,
+                               err_msg="loss value")
+    a = np.asarray(g_j).ravel().astype(np.float64)
+    b = g_t.ravel().astype(np.float64)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert cos > 0.999, f"grad cosine {cos}"
+    assert rel < 5e-2, f"grad rel-L2 {rel}"
+
+
 # ---------------------------------------------------------------------------
 # gated paths: focal label loss, token_fuse, plane loss
 # ---------------------------------------------------------------------------
