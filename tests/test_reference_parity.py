@@ -443,6 +443,108 @@ def test_full_model_forward_vs_reference(ref):
                atol=1e-3, rtol=1e-2, msg=f"aux logits {i}")
 
 
+def test_train_loss_grad_vs_reference(ref):
+    """Engine loss composition parity, value AND gradient: the total
+    training loss (weighted set-criterion over final+aux, multi-scale
+    SiLog with nearest-downsampled GT/mask, seg CE x seg_loss_weight —
+    reference engine_glassrgbd.py:61-115 with weight_dict from
+    glassrgbd.py:540-554) built from the REAL reference criteria must
+    match our compute_losses in value and in d(loss)/d(every model
+    output)."""
+    cfg = tiny_test_config()
+    args = make_ref_args(cfg)
+    torch.manual_seed(8)
+    _, crits, _ = ref.glassrgbd.build(args)
+    criterion, crit_depth, crit_seg = crits[0], crits[1], crits[2]
+
+    rng = np.random.default_rng(37)
+    B, Q, D = 2, cfg.num_queries, 6
+    H, W = 64, 96
+    counts = [3, 2]
+    n_layers = cfg.dec_layers
+    logits = rng.standard_normal((n_layers, B, Q, 2)).astype(np.float32)
+    lines = rng.random((n_layers, B, Q, D), dtype=np.float32)
+    scales = [(H // 16, W // 16), (H // 8, W // 8), (H // 4, W // 4), (H, W)]
+    dpreds = [rng.random((B, *s), dtype=np.float32) * 9 + 0.3
+              for s in scales]
+    seg_logits = rng.standard_normal((B, H, W, 2)).astype(np.float32)
+    depth_gt = rng.random((B, H, W), dtype=np.float32) * 9.7 + 0.05
+    seg_gt = (rng.random((B, H, W)) > 0.5).astype(np.int64)
+    targets = [{"lines": torch.from_numpy(
+                    rng.random((n, D), dtype=np.float32)),
+                "labels": torch.zeros(n, dtype=torch.int64)}
+               for n in counts]
+
+    # ---- reference side (real criteria; composition per engine :61-115)
+    t_logits = [torch.from_numpy(l).requires_grad_(True) for l in logits]
+    t_lines = [torch.from_numpy(l).requires_grad_(True) for l in lines]
+    t_dpreds = [torch.from_numpy(d)[:, None].requires_grad_(True)
+                for d in dpreds]
+    t_seg = torch.from_numpy(seg_logits.transpose(0, 3, 1, 2).copy()) \
+        .requires_grad_(True)
+    out_t = {"pred_logits": t_logits[-1], "pred_lines": t_lines[-1],
+             "aux_outputs": [{"pred_logits": t_logits[i],
+                              "pred_lines": t_lines[i]}
+                             for i in range(n_layers - 1)]}
+    loss_dict = criterion(out_t, targets)
+    wd = criterion.weight_dict
+    total_t = sum(loss_dict[k] * wd[k] for k in loss_dict if k in wd)
+    gt_t = torch.from_numpy(depth_gt)[:, None]
+    mask = (gt_t >= 0.2) & (gt_t < 10.0)
+    import torch.nn.functional as TF
+    for pd, w in zip(t_dpreds, cfg.depth_loss_weights):
+        d_gt = TF.interpolate(gt_t, size=pd.shape[-2:], mode="nearest")
+        m_rs = TF.interpolate(mask.to(torch.uint8), size=pd.shape[-2:],
+                              mode="nearest")
+        total_t = total_t + crit_depth(pd, d_gt, m_rs.bool()) * w
+    total_t = total_t + crit_seg(t_seg, torch.from_numpy(seg_gt)) \
+        * cfg.seg_loss_weight
+    total_t.backward()
+
+    # ---- our side
+    from gwdepth_tpu.data.batch import Batch
+    from gwdepth_tpu.parallel.train_step import compute_losses
+    T = cfg.max_lines
+    tgt = np.zeros((B, T, D), np.float32)
+    msk = np.zeros((B, T), bool)
+    for b, n in enumerate(counts):
+        tgt[b, :n] = targets[b]["lines"].numpy()
+        msk[b, :n] = True
+    batch = Batch(images=jnp.zeros((B, H, W, 3)),
+                  valid=jnp.ones((B, H, W), bool),
+                  depth=jnp.asarray(depth_gt), seg=jnp.asarray(seg_gt),
+                  lines=jnp.asarray(tgt), line_mask=jnp.asarray(msk))
+
+    def total_fn(v):
+        outputs = {"pred_logits": v["logits"][-1],
+                   "pred_lines": v["lines"][-1],
+                   "aux_outputs": [{"pred_logits": v["logits"][i],
+                                    "pred_lines": v["lines"][i]}
+                                   for i in range(n_layers - 1)],
+                   "pred_depth": v["depth"], "pred_seg": v["seg"]}
+        return compute_losses(cfg, outputs, batch)[0]
+
+    v0 = {"logits": [jnp.asarray(l) for l in logits],
+          "lines": [jnp.asarray(l) for l in lines],
+          "depth": [jnp.asarray(d) for d in dpreds],
+          "seg": jnp.asarray(seg_logits)}
+    total_j, grads = jax.value_and_grad(total_fn)(v0)
+
+    np.testing.assert_allclose(float(total_j), float(total_t), rtol=1e-5,
+                               err_msg="total train loss")
+    for i in range(n_layers):
+        _close(grads["logits"][i], t_logits[i].grad.numpy(), atol=1e-6,
+               msg=f"d/d logits layer {i}")
+        _close(grads["lines"][i], t_lines[i].grad.numpy(), atol=1e-6,
+               msg=f"d/d lines layer {i}")
+    for i in range(4):
+        _close(grads["depth"][i], t_dpreds[i].grad.numpy()[:, 0],
+               atol=1e-6, msg=f"d/d depth scale {i}")
+    _close(grads["seg"],
+           t_seg.grad.numpy().transpose(0, 2, 3, 1), atol=1e-6,
+           msg="d/d seg logits")
+
+
 def test_full_model_grad_vs_reference(ref):
     """Training-path equivalence: d(loss)/d(input) through the ENTIRE
     model (backbone -> DETR -> 4-scale dense encoder -> decoder) must
