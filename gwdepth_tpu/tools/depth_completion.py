@@ -72,13 +72,20 @@ def project(points: np.ndarray, intr: Intrinsics) -> np.ndarray:
 
 def interpolate_side_points(p1: np.ndarray, p2: np.ndarray,
                             step_mm: float = 6.0) -> np.ndarray:
-    """Evenly spaced 3D samples between two 3D points (meters), one per
-    `step_mm` of 3D distance, endpoints included
-    (reference: inline_points_interpolation, :397-420)."""
-    dist_mm = float(np.linalg.norm(p2 - p1)) * 1000.0
-    n = max(int(dist_mm // step_mm), 1)
-    t = np.linspace(0.0, 1.0, n + 1)
-    return p1[None] + t[:, None] * (p2 - p1)[None]
+    """3D samples between two 3D points (meters) at the reference's exact
+    placement: one sample every `step_mm` of 3D distance starting 1 mm
+    from p1 (inline_points_interpolation walks inc = 1, 1+step, ... along
+    the direction cosines, endpoints appended separately by
+    calculate_sides_depth — reference: depth_interpolation.py:397-420,
+    121-145).  Endpoints included here."""
+    diff = p2 - p1
+    dist_mm = float(np.linalg.norm(diff)) * 1000.0
+    if dist_mm <= 0.0:
+        return np.stack([p1, p2])
+    unit = diff / (dist_mm / 1000.0)            # direction, per-mm in meters
+    incs = np.arange(1, int(dist_mm), step_mm, dtype=np.float64)
+    inner = p1[None] + incs[:, None] * (unit[None] / 1000.0)
+    return np.concatenate([p1[None], inner, p2[None]], axis=0)
 
 
 def _scanline_fill(h: int, w: int, side_px: np.ndarray, side_depth: np.ndarray,

@@ -181,6 +181,47 @@ def install_stubs():
         sys.modules["timm.models.layers"] = layers
     if "imp" not in sys.modules:
         sys.modules["imp"] = types.ModuleType("imp")  # removed in py3.12
+    if "numpy.lib.function_base" not in sys.modules:
+        # privatized in numpy 2.x; depth_interpolation.py:10 imports interp
+        fb = types.ModuleType("numpy.lib.function_base")
+        fb.interp = np.interp
+        sys.modules["numpy.lib.function_base"] = fb
+    if not hasattr(np.lib, "save"):  # read_binfile.py:7 (numpy 2.x drop)
+        np.lib.save = np.save
+    if not hasattr(np, "mat"):       # raw_preprocess.py:9 (numpy 2.x drop)
+        np.mat = np.asmatrix if hasattr(np, "asmatrix") else np.asarray
+    if "pyrealsense2" not in sys.modules:
+        # depth_interpolation.py needs only the intrinsics container and
+        # the (de)projection entry points; with all-zero distortion
+        # coefficients librealsense's brown-conrady math reduces exactly
+        # to the pinhole model implemented here.
+        rs = types.ModuleType("pyrealsense2")
+
+        class _Intrinsics:  # mutable attribute bag (read_camera_intrin)
+            pass
+
+        class _Distortion:
+            inverse_brown_conrady = "inverse_brown_conrady"
+            brown_conrady = "brown_conrady"
+            none = "none"
+
+        def _deproject(intrin, pixel, depth):
+            assert not any(intrin.coeffs), "stub supports zero coeffs only"
+            x = (pixel[0] - intrin.ppx) / intrin.fx
+            y = (pixel[1] - intrin.ppy) / intrin.fy
+            return [depth * x, depth * y, depth]
+
+        def _project(intrin, point):
+            assert not any(intrin.coeffs), "stub supports zero coeffs only"
+            x = point[0] / point[2]
+            y = point[1] / point[2]
+            return [x * intrin.fx + intrin.ppx, y * intrin.fy + intrin.ppy]
+
+        rs.intrinsics = _Intrinsics
+        rs.distortion = _Distortion
+        rs.rs2_deproject_pixel_to_point = _deproject
+        rs.rs2_project_point_to_pixel = _project
+        sys.modules["pyrealsense2"] = rs
     if "skimage" not in sys.modules:  # lcnn/trainer.py:16, unused here
         sk = types.ModuleType("skimage")
         sk.io = types.ModuleType("skimage.io")
@@ -361,6 +402,26 @@ def _install_shapely_stub():
     shp.geometry = geo
     sys.modules["shapely"] = shp
     sys.modules["shapely.geometry"] = geo
+
+
+_ref_tool_cache = None
+
+
+def get_ref_toolchain():
+    """Import the reference's offline GT-construction toolchain (cached):
+    depth_interpolation/depth_interpolation.py over the pyrealsense2
+    pinhole stub."""
+    global _ref_tool_cache
+    if _ref_tool_cache is not None:
+        return _ref_tool_cache
+    install_stubs()
+    p = f"{REF}/depth_interpolation"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    import importlib
+    _ref_tool_cache = SimpleNamespace(
+        depth_interpolation=importlib.import_module("depth_interpolation"))
+    return _ref_tool_cache
 
 
 _ref_data_cache = None

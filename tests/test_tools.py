@@ -26,7 +26,10 @@ def test_side_interpolation_step():
     p1 = np.array([0.0, 0.0, 1.0])
     p2 = np.array([0.0, 0.0, 1.06])   # 60mm apart
     seg = interpolate_side_points(p1, p2, step_mm=6.0)
-    assert len(seg) == 11             # 10 steps + endpoint
+    # reference placement: inner samples at 1, 7, ..., 55 mm (10 of them)
+    # plus both endpoints (inline_points_interpolation :397-420)
+    assert len(seg) == 12
+    np.testing.assert_allclose(seg[1], [0.0, 0.0, 1.001])
     np.testing.assert_allclose(seg[0], p1)
     np.testing.assert_allclose(seg[-1], p2)
 
