@@ -136,8 +136,29 @@ def bench_train_step(seed: int):
     return ips, (flops * ips / PEAK_FLOPS if flops else None)
 
 
+def _watchdog(minutes: float = 20.0):
+    """The axon tunnel can WEDGE so hard that even device warmup blocks
+    forever (CLAUDE.md).  If the benchmark hasn't finished within the
+    budget, exit non-zero WITHOUT printing a JSON line — a hang would eat
+    the driver's whole round, and a fabricated number would be recorded."""
+    import threading
+
+    def fire():
+        import sys
+        print(f"bench.py watchdog: no result after {minutes} min — "
+              "tunnel wedged? aborting without a JSON line", file=sys.stderr,
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(minutes * 60.0, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
+    watchdog = _watchdog()
 
     tr_ips, tr_mfu = bench_train_step(seed)
     print(json.dumps({
@@ -156,6 +177,7 @@ def main():
         "mfu": round(mfu, 4) if mfu else None,
         "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
     }), flush=True)
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1,
                    help="images per forward pass (last batch pads by "
                         "repeating; throughput-serving knob)")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="shard the serving batch over N devices (data-"
+                        "parallel inference; --batch must be a multiple)")
     return p
 
 
@@ -142,14 +145,30 @@ def main(argv=None):
         print("WARNING: random weights (no --resume/--torch_init) — "
               "for pipeline smoke tests only")
 
-    @jax.jit
-    def fwd(images, valid):
+    def fwd_fn(images, valid):
         out = model.apply({"params": params}, images, valid)
         r = {"depth": out["pred_depth"][-1], "seg": out["pred_seg"]}
         if out["pred_logits"] is not None:
             r["logits"] = out["pred_logits"]
             r["lines"] = out["pred_lines"]
         return r
+
+    if args.mesh > 1:
+        # data-parallel serving: batch sharded over `data`, params
+        # replicated once before the first call (avoids a layout-change
+        # recompile on step 2 — see parallel/mesh.py:place_replicated)
+        if args.batch % args.mesh:
+            raise SystemExit(f"--batch {args.batch} must be a multiple of "
+                             f"--mesh {args.mesh}")
+        from gwdepth_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                               place_replicated)
+        mesh = make_mesh((args.mesh,), ("data",))
+        params = place_replicated(params, mesh)
+        shard = batch_sharding(mesh)
+        fwd = jax.jit(fwd_fn, in_shardings=(shard, shard))
+        print(f"serving over {args.mesh}-device data mesh")
+    else:
+        fwd = jax.jit(fwd_fn)
 
     ch, cw = cfg.eval_hw
     B = max(1, args.batch)

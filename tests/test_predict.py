@@ -68,3 +68,28 @@ def test_predict_batched_matches_single(tmp_path):
         a = np.load(out1 / f"{n}_depth.npy")
         b = np.load(outb / f"{n}_depth.npy")
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_predict_mesh_serving_matches_single(tmp_path):
+    """--mesh N shards the serving batch over the device mesh (data-
+    parallel inference); outputs match the unsharded run."""
+    import jax
+    from gwdepth_tpu import predict
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device virtual mesh (conftest)")
+    rng = np.random.default_rng(3)
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for n in ("p", "q", "r"):
+        Image.fromarray(rng.integers(0, 255, (60, 70, 3))
+                        .astype(np.uint8)).save(imgs / f"{n}.png")
+    out1 = tmp_path / "o1"
+    outm = tmp_path / "om"
+    predict.main(["--images", str(imgs), "--output_dir", str(out1),
+                  "--tiny", "--score", "0.5"])
+    predict.main(["--images", str(imgs), "--output_dir", str(outm),
+                  "--tiny", "--score", "0.5", "--batch", "4", "--mesh", "4"])
+    for n in ("p", "q", "r"):
+        a = np.load(out1 / f"{n}_depth.npy")
+        b = np.load(outm / f"{n}_depth.npy")
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
