@@ -116,6 +116,27 @@ def test_crop_fallback_vs_reference(refd):
     _assert_same(mine, img_t, tgt_t, aux_t)
 
 
+def test_crop_fuzz_vs_reference(refd):
+    """Seeded sweep over random polygons x regions: every line-survival /
+    slope-clamp / center-recompute combination the generator reaches must
+    match the reference exactly."""
+    rng = np.random.default_rng(99)
+    checked = 0
+    for seed in range(8, 16):
+        sample, img, target, aux = make_case(seed)
+        H, W = 64, 96
+        i = int(rng.integers(0, 28))
+        j = int(rng.integers(0, 44))
+        h = int(rng.integers(24, H - i))
+        w = int(rng.integers(32, W - j))
+        img_t, tgt_t, aux_t = refd.transforms_depth.crop(
+            img, target, (i, j, h, w), aux_mats=list(aux))
+        mine = mytr.crop(sample, i, j, h, w)
+        _assert_same(mine, img_t, tgt_t, aux_t)
+        checked += len(tgt_t["poly_ids"])
+    assert checked > 20  # the sweep actually exercised surviving lines
+
+
 def test_crop_after_hflip_vs_reference(refd):
     """The center recompute detects a prior hflip from endpoint ordering
     (:139-141) — run hflip, then a crop with both branches reachable."""
