@@ -47,6 +47,9 @@ PEAK_FLOPS = 197e12  # TPU v5e bf16 peak
 # accounting costs minutes of bench budget. Re-measure if the
 # architecture changes: see /tmp recipe in the git history (flops =
 # fwd.lower(x).compile().cost_analysis()["flops"] with use_pallas=False).
+# Cross-check 2026-08-18: the CPU backend reports 1.643e12 for the same
+# graph (different fusion/accounting); the TPU-backend figure below is
+# the honest MFU denominator for TPU timings.
 EVAL_FWD_FLOPS = 1.241e12
 
 
