@@ -388,7 +388,8 @@ def test_refer_transformer_group_attention_vs_reference(ref):
 # full model forward
 # ---------------------------------------------------------------------------
 
-def test_full_model_forward_vs_reference(ref):
+@pytest.mark.parametrize("backbone", ["resnet50", "resnet101"])
+def test_full_model_forward_vs_reference(ref, backbone):
     # The reference hardcodes the dense stem at 512 channels
     # (glassrgbd.py:69-70: hidden_dim=256, dense_input_proj -> hidden_dim*2)
     # and its final token reshape requires D//8 == class_token_dim, so the
@@ -402,7 +403,7 @@ def test_full_model_forward_vs_reference(ref):
         dropout=0.0, dense_trans_layers=(2,), class_trans_layers=(1, 1, 1),
         group_attention_layers=((False, False), (False, False),
                                 (False,)),
-        train_hw=(224, 320), eval_hw=(224, 320))
+        train_hw=(224, 320), eval_hw=(224, 320), backbone=backbone)
     args = make_ref_args(cfg)
     torch.manual_seed(4)
     model_t, _, _ = ref.glassrgbd.build(args)
