@@ -81,6 +81,7 @@ class GWDepthConfig:
     lr_drop: int = 200
     clip_max_norm: float = 0.1
     batch_size: int = 2
+    grad_accum: int = 1              # microbatch accumulation steps per update
     seed: int = 42
 
     # ---- static-shape data pipeline (TPU-specific; replaces NestedTensor) ----

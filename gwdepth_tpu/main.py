@@ -35,9 +35,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # optimizer / schedule (reference: src/args.py:6-21)
     for name in ("lr", "lr_backbone", "weight_decay"):
         p.add_argument(f"--{name}", type=float, default=getattr(cfg, name))
-    for name in ("batch_size", "epochs", "lr_drop", "seed", "num_queries",
-                 "enc_layers", "dec_layers", "hidden_dim", "nheads",
-                 "dim_feedforward", "layer1_num", "num_ref", "max_lines"):
+    for name in ("batch_size", "grad_accum", "epochs", "lr_drop", "seed",
+                 "num_queries", "enc_layers", "dec_layers", "hidden_dim",
+                 "nheads", "dim_feedforward", "layer1_num", "num_ref",
+                 "max_lines"):
         p.add_argument(f"--{name}", type=int, default=getattr(cfg, name))
     p.add_argument("--clip_max_norm", type=float, default=cfg.clip_max_norm)
     p.add_argument("--backbone", type=str, default=cfg.backbone)
@@ -97,7 +98,8 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
             with_dense_center=args.with_dense_center,
             with_line_depth=args.with_line_depth,
             with_plane_norm_loss=args.with_plane_norm_loss,
-            batch_size=args.batch_size, epochs=args.epochs,
+            batch_size=args.batch_size, grad_accum=args.grad_accum,
+            epochs=args.epochs,
             data_path=args.data_path, gt_depth_path=args.gt_depth_path,
             gt_seg_path=args.gt_seg_path, gt_line_path=args.gt_line_path,
             filenames_file_train=args.filenames_file_train,
@@ -117,6 +119,7 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
     return GWDepthConfig(
         lr=args.lr, lr_backbone=args.lr_backbone,
         weight_decay=args.weight_decay, batch_size=args.batch_size,
+        grad_accum=args.grad_accum,
         epochs=args.epochs, lr_drop=args.lr_drop, seed=args.seed,
         clip_max_norm=args.clip_max_norm, backbone=args.backbone,
         position_embedding=args.position_embedding,

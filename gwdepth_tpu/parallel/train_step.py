@@ -87,20 +87,49 @@ def make_train_step(cfg: GWDepthConfig, model,
     needs a single device transfer per step — per-scalar pulls cost ~1.5s
     each over a remote-TPU tunnel."""
     log_keys: list = []
+    A = max(int(cfg.grad_accum), 1)
+
+    def loss_fn(params, batch: Batch, rng):
+        outputs = model.apply(
+            {"params": params}, batch.images, batch.valid,
+            deterministic=False, rngs={"dropout": rng})
+        return compute_losses(cfg, outputs, batch)
 
     def step(state: TrainState, batch: Batch, rng):
-        def loss_fn(params):
-            outputs = model.apply(
-                {"params": params}, batch.images, batch.valid,
-                deterministic=False, rngs={"dropout": rng})
-            return compute_losses(cfg, outputs, batch)
+        if A == 1:
+            (_, logs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
+            if not log_keys:
+                log_keys.extend(logs.keys())
+            return state.apply_gradients(grads), jnp.stack(
+                [logs[k] for k in log_keys])
 
-        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        if not log_keys:
-            log_keys.extend(logs.keys())
-        return state.apply_gradients(grads), jnp.stack(
-            [logs[k] for k in log_keys])
+        # Gradient accumulation: one update from A sequential microbatches,
+        # semantically identical to data-parallel over A x more devices
+        # (grads and logs are the mean over microbatches). The split is
+        # STRIDED (image i -> microbatch i % A) so each microbatch stays
+        # spread across the data-sharded batch axis under a mesh.
+        B = batch.images.shape[0]
+        assert B % A == 0, f"batch {B} not divisible by grad_accum {A}"
+        micro = jax.tree.map(
+            lambda x: jnp.moveaxis(
+                x.reshape(B // A, A, *x.shape[1:]), 1, 0), batch)
+        rngs = jax.random.split(rng, A)
+
+        def body(gsum, xs):
+            mb, r = xs
+            (_, logs), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, mb, r)
+            if not log_keys:
+                log_keys.extend(logs.keys())
+            return (jax.tree.map(jnp.add, gsum, g),
+                    jnp.stack([logs[k] for k in log_keys]))
+
+        zeros = jax.tree.map(lambda p: jnp.zeros(p.shape, p.dtype),
+                             state.params)
+        gsum, logmat = jax.lax.scan(body, zeros, (micro, rngs))
+        grads = jax.tree.map(lambda g: g / A, gsum)
+        return state.apply_gradients(grads), logmat.mean(axis=0)
 
     if mesh is None:
         fn = jax.jit(step, donate_argnums=(0,))

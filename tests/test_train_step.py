@@ -74,6 +74,44 @@ def test_sharded_train_step_end_to_end(harness):
     assert np.abs(after_main - before_main).max() > 0
 
 
+def test_grad_accum_matches_manual_microbatch_average(harness):
+    """grad_accum=2 must produce exactly the update of averaging the two
+    strided-microbatch gradients (image i -> microbatch i % 2) and applying
+    them once — i.e. data-parallel-over-2x-more-devices semantics. Logs are
+    the microbatch mean."""
+    cfg, model, batch, params = harness
+    cfg2 = cfg.replace(grad_accum=2)
+    state = create_train_state(cfg2, jax.tree.map(jnp.copy, params), 1000)
+    step = make_train_step(cfg2, model)
+    rng = jax.random.PRNGKey(7)
+    new_state, logvec = step(state, batch, rng)
+    logs = dict(zip(step.log_keys, np.asarray(logvec).tolist()))
+
+    def loss_fn(p, mb, r):
+        out = model.apply({"params": p}, mb.images, mb.valid,
+                          deterministic=False, rngs={"dropout": r})
+        return compute_losses(cfg2, out, mb)
+
+    rngs = jax.random.split(rng, 2)
+    grads, losses = [], []
+    for j in range(2):
+        mb = jax.tree.map(lambda x, j=j: x[j::2], batch)
+        (_, lg), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            params, mb, rngs[j])
+        grads.append(g)
+        losses.append(float(lg["loss"]))
+    avg = jax.tree.map(lambda a, b: (a + b) / 2.0, *grads)
+    exp_state = create_train_state(
+        cfg2, jax.tree.map(jnp.copy, params), 1000).apply_gradients(avg)
+
+    np.testing.assert_allclose(logs["loss"], np.mean(losses), rtol=1e-5)
+    flat_new = jax.tree_util.tree_leaves(new_state.params)
+    flat_exp = jax.tree_util.tree_leaves(exp_state.params)
+    for a, b in zip(flat_new, flat_exp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_eval_step_and_loss_weighting(harness):
     cfg, model, batch, params = harness
     estep = make_eval_step(cfg, model)
