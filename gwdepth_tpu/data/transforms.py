@@ -30,6 +30,7 @@ until `normalize`.
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 from typing import List, Sequence, Tuple
 
@@ -124,19 +125,48 @@ def _get_resize_hw(wh: Tuple[int, int], size, max_size=None) -> Tuple[int, int]:
     return size, int(size * w / h)
 
 
+def _pil_nearest_idx(n_in: int, n_out: int) -> np.ndarray:
+    """Source indices PIL NEAREST resize picks for each output position.
+
+    Pillow routes NEAREST through ImagingScaleAffine (Geometry.c): the
+    source coordinate starts at scale*0.5 and is advanced by sequential
+    double ADDITION per pixel, then truncated. np.add.accumulate replays
+    the same fl-add chain bit-for-bit (verified in
+    tests/test_native_loader.py against PIL across sizes/dtypes)."""
+    a = n_in / n_out
+    steps = np.full(n_out, a, np.float64)
+    steps[0] = a * 0.5
+    return np.clip(np.add.accumulate(steps).astype(np.int64), 0, n_in - 1)
+
+
 def resize(s: Sample, size, max_size=None) -> Sample:
     s = s.copy()
     oh, ow = _get_resize_hw(s.image.size, size, max_size)
     w0, h0 = s.image.size
-    s.image = s.image.resize((ow, oh), Image.BILINEAR)
+
+    from gwdepth_tpu import native
+    fast = not os.environ.get("GWDEPTH_NO_NATIVE")
+    img = None
+    if fast and native.available() and s.image.mode == "RGB":
+        # PIL-bit-exact native bilinear (tests/test_native_loader.py)
+        img = native.resize_bilinear_rgb8(np.asarray(s.image), oh, ow)
+    s.image = (Image.fromarray(img) if img is not None
+               else s.image.resize((ow, oh), Image.BILINEAR))
     rw, rh = ow / w0, oh / h0
     if len(s.lines):
         s.lines = s.lines * np.array([rw, rh, rw, rh])
         s.centers = s.centers * np.array([rw, rh])
-    s.depth = np.asarray(
-        Image.fromarray(s.depth).resize((ow, oh), Image.NEAREST))
-    s.seg = np.asarray(
-        Image.fromarray(s.seg).resize((ow, oh), Image.NEAREST))
+    if fast:
+        # numpy replay of PIL NEAREST (bit-exact, see _pil_nearest_idx)
+        yi = _pil_nearest_idx(h0, oh)
+        xi = _pil_nearest_idx(w0, ow)
+        s.depth = np.ascontiguousarray(s.depth[yi][:, xi])
+        s.seg = np.ascontiguousarray(s.seg[yi][:, xi])
+    else:
+        s.depth = np.asarray(
+            Image.fromarray(s.depth).resize((ow, oh), Image.NEAREST))
+        s.seg = np.asarray(
+            Image.fromarray(s.seg).resize((ow, oh), Image.NEAREST))
     return s
 
 

@@ -71,6 +71,10 @@ def lib() -> Optional[ctypes.CDLL]:
                 so.gw_color_jitter.argtypes = [
                     ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float)]
+                so.gw_resize_bilinear_rgb8.restype = ctypes.c_int
+                so.gw_resize_bilinear_rgb8.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
                 so.gw_normalize_pad.restype = ctypes.c_int
                 so.gw_normalize_pad.argtypes = [
                     ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
@@ -136,6 +140,23 @@ def color_jitter(img: np.ndarray, ops: Sequence[int],
     rc = so.gw_color_jitter(
         out.ctypes.data_as(ctypes.c_char_p), out.shape[0], out.shape[1],
         len(ops), ops_c, fac_c)
+    return out if rc == 0 else None
+
+
+def resize_bilinear_rgb8(img: np.ndarray, oh: int, ow: int
+                         ) -> Optional[np.ndarray]:
+    """PIL `Image.resize((ow, oh), BILINEAR)` on uint8 HWC RGB, bit-exact
+    (Pillow Resample.c replica). None when the native library is
+    unavailable or the call fails."""
+    so = lib()
+    if so is None:
+        return None
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    img = np.ascontiguousarray(img)
+    out = np.empty((oh, ow, 3), np.uint8)
+    rc = so.gw_resize_bilinear_rgb8(
+        img.ctypes.data_as(ctypes.c_char_p), img.shape[0], img.shape[1],
+        out.ctypes.data_as(ctypes.c_char_p), oh, ow)
     return out if rc == 0 else None
 
 

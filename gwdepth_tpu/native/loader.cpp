@@ -20,6 +20,11 @@
 //    truncation) — verified bit-exact against Pillow 12 in the tests.
 //  - gw_normalize_pad: fused (u8/255 - mean)/std onto a zeroed canvas,
 //    float32 op-for-op with the numpy normalize path.
+//  - gw_resize_bilinear_rgb8: PIL `Image.resize(..., BILINEAR)` on uint8
+//    RGB, bit-exact: Pillow's two-pass Resample.c algorithm (double
+//    coefficient precompute with antialias support scaling, INT32
+//    fixed-point taps at PRECISION_BITS=22, clip8 on the accumulator,
+//    horizontal pass into a uint8 temp then vertical).
 //
 // Threading: no threads in here — the Python Loader's ThreadPoolExecutor
 // provides parallelism and ctypes releases the GIL for the call duration.
@@ -31,6 +36,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 
 #include <png.h>
 
@@ -157,6 +163,68 @@ inline void hsv2rgb(const HsvTables& tb, uint8_t uh, uint8_t us, uint8_t uv,
         case 4: *r = t;  *g = p;  *b = uv; break;
         default: *r = uv; *g = p;  *b = q;  break;
     }
+}
+
+// ---- Pillow Resample.c replica (8bpc bilinear) -------------------------
+// PRECISION_BITS, clip8, precompute_coeffs and the two passes follow
+// Pillow's source exactly so outputs match byte-for-byte.
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline double bilinear_filter(double x) {
+    if (x < 0.0) x = -x;
+    return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+inline uint8_t resample_clip8(int in) {
+    if (in >= (1 << kPrecisionBits << 8)) return 255;
+    if (in <= 0) return 0;
+    return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+// Fills bounds (outSize x {xmin, xmax}) and int32 taps (outSize x ksize);
+// returns ksize. Matches Pillow precompute_coeffs + normalize_coeffs_8bpc:
+// double-precision triangle filter normalized per output pixel, then
+// rounded half away from zero into fixed point.
+int precompute_coeffs(int inSize, int outSize, int* bounds, int32_t* kk,
+                      double* prekk, int ksize) {
+    const double scale = static_cast<double>(inSize) / outSize;
+    const double filterscale = scale < 1.0 ? 1.0 : scale;
+    const double support = 1.0 * filterscale;
+    const double ss = 1.0 / filterscale;
+    for (int xx = 0; xx < outSize; ++xx) {
+        double center = (xx + 0.5) * scale;
+        double ww = 0.0;
+        int xmin = static_cast<int>(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = static_cast<int>(center + support + 0.5);
+        if (xmax > inSize) xmax = inSize;
+        xmax -= xmin;
+        double* k = prekk + static_cast<long>(xx) * ksize;
+        int x = 0;
+        for (; x < xmax; ++x) {
+            double w = bilinear_filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
+        }
+        for (x = 0; x < xmax; ++x)
+            if (ww != 0.0) k[x] /= ww;
+        for (; x < ksize; ++x) k[x] = 0.0;
+        bounds[2 * xx] = xmin;
+        bounds[2 * xx + 1] = xmax;
+    }
+    const long n = static_cast<long>(outSize) * ksize;
+    for (long i = 0; i < n; ++i)
+        kk[i] = prekk[i] < 0
+            ? static_cast<int32_t>(-0.5 + prekk[i] * (1 << kPrecisionBits))
+            : static_cast<int32_t>(0.5 + prekk[i] * (1 << kPrecisionBits));
+    return ksize;
+}
+
+inline int coeff_ksize(int inSize, int outSize) {
+    double scale = static_cast<double>(inSize) / outSize;
+    if (scale < 1.0) scale = 1.0;
+    return static_cast<int>(std::ceil(1.0 * scale)) * 2 + 1;
 }
 
 struct PngReader {
@@ -291,6 +359,90 @@ int gw_color_jitter(unsigned char* img, int h, int w, int n_ops,
                 return -1;
         }
     }
+    return 0;
+}
+
+// PIL-exact bilinear resize of a contiguous uint8 RGB (h, w, 3) image into
+// (oh, ow, 3). Horizontal pass first (into a uint8 temp, like Pillow), then
+// vertical. Returns 0 on success, -1 on bad sizes / allocation failure.
+int gw_resize_bilinear_rgb8(const unsigned char* src, int h, int w,
+                            unsigned char* dst, int oh, int ow) {
+    if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0) return -1;
+    if (h == oh && w == ow) {
+        std::memcpy(dst, src, static_cast<size_t>(h) * w * 3);
+        return 0;
+    }
+    const bool need_h = (ow != w);
+    const bool need_v = (oh != h);
+
+    const unsigned char* hin = src;
+    unsigned char* temp = nullptr;
+    if (need_h) {
+        const int ksize = coeff_ksize(w, ow);
+        int* bounds = new (std::nothrow) int[2L * ow];
+        int32_t* kk = new (std::nothrow) int32_t[static_cast<long>(ow) * ksize];
+        double* pre = new (std::nothrow) double[static_cast<long>(ow) * ksize];
+        unsigned char* out_h = dst;
+        if (need_v) {
+            temp = new (std::nothrow) unsigned char[
+                static_cast<size_t>(h) * ow * 3];
+            out_h = temp;
+        }
+        if (!bounds || !kk || !pre || !out_h) {
+            delete[] bounds; delete[] kk; delete[] pre; delete[] temp;
+            return -1;
+        }
+        precompute_coeffs(w, ow, bounds, kk, pre, ksize);
+        for (int y = 0; y < h; ++y) {
+            const unsigned char* row = src + static_cast<long>(y) * w * 3;
+            unsigned char* orow = out_h + static_cast<long>(y) * ow * 3;
+            for (int xx = 0; xx < ow; ++xx) {
+                const int xmin = bounds[2 * xx];
+                const int xmax = bounds[2 * xx + 1];
+                const int32_t* k = kk + static_cast<long>(xx) * ksize;
+                int s0 = 1 << (kPrecisionBits - 1);
+                int s1 = s0, s2 = s0;
+                const unsigned char* p = row + 3L * xmin;
+                for (int x = 0; x < xmax; ++x) {
+                    s0 += p[3 * x] * k[x];
+                    s1 += p[3 * x + 1] * k[x];
+                    s2 += p[3 * x + 2] * k[x];
+                }
+                orow[3 * xx] = resample_clip8(s0);
+                orow[3 * xx + 1] = resample_clip8(s1);
+                orow[3 * xx + 2] = resample_clip8(s2);
+            }
+        }
+        delete[] bounds; delete[] kk; delete[] pre;
+        hin = out_h;
+    }
+    if (need_v) {
+        const int ksize = coeff_ksize(h, oh);
+        int* bounds = new (std::nothrow) int[2L * oh];
+        int32_t* kk = new (std::nothrow) int32_t[static_cast<long>(oh) * ksize];
+        double* pre = new (std::nothrow) double[static_cast<long>(oh) * ksize];
+        if (!bounds || !kk || !pre) {
+            delete[] bounds; delete[] kk; delete[] pre; delete[] temp;
+            return -1;
+        }
+        precompute_coeffs(h, oh, bounds, kk, pre, ksize);
+        const long rowb = 3L * ow;
+        for (int yy = 0; yy < oh; ++yy) {
+            const int ymin = bounds[2 * yy];
+            const int ymax = bounds[2 * yy + 1];
+            const int32_t* k = kk + static_cast<long>(yy) * ksize;
+            unsigned char* orow = dst + static_cast<long>(yy) * rowb;
+            for (long i = 0; i < rowb; ++i) {
+                int s = 1 << (kPrecisionBits - 1);
+                const unsigned char* p = hin + static_cast<long>(ymin) * rowb + i;
+                for (int y = 0; y < ymax; ++y)
+                    s += p[static_cast<long>(y) * rowb] * k[y];
+                orow[i] = resample_clip8(s);
+            }
+        }
+        delete[] bounds; delete[] kk; delete[] pre;
+    }
+    delete[] temp;
     return 0;
 }
 

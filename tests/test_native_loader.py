@@ -190,3 +190,79 @@ def test_dataset_open_helpers(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "available", lambda: False)
     assert (np.asarray(D._open_rgb(p)) == img).all()
     assert (D._open_array(pd).astype(np.int64) == dep).all()
+
+
+# ---------------------------------------------------------------------------
+# resize (bilinear native, nearest numpy replay)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_resize_bilinear_exact_fuzz(seed):
+    """Native bilinear == PIL BILINEAR byte-for-byte across random
+    up/down/mixed scalings (Pillow Resample.c replica)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(seed)
+    for _ in range(25):
+        h, w = (int(v) for v in rng.integers(4, 90, 2))
+        oh, ow = (int(v) for v in rng.integers(3, 120, 2))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(img).resize((ow, oh),
+                                                     Image.BILINEAR))
+        got = native.resize_bilinear_rgb8(img, oh, ow)
+        assert got is not None
+        np.testing.assert_array_equal(ref, got, err_msg=f"{(h,w)}->{(oh,ow)}")
+
+
+def test_resize_bilinear_protocol_sizes():
+    """Bit-exact at the shapes the pipeline actually uses (720x1280
+    captures -> train scales / eval long-side-1024), incl. identity."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for (h, w), (oh, ow) in [((720, 1280), (768, 1024)),
+                             ((720, 1280), (576, 1024)),
+                             ((360, 640), (768, 1024)),
+                             ((64, 96), (64, 96))]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(img).resize((ow, oh),
+                                                     Image.BILINEAR))
+        got = native.resize_bilinear_rgb8(img, oh, ow)
+        np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.uint8])
+def test_nearest_index_replay_matches_pil(dtype):
+    """_pil_nearest_idx replays PIL NEAREST (ImagingScaleAffine sequential
+    double accumulation) exactly for the depth (F) and seg (L) maps."""
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        h, w = (int(v) for v in rng.integers(3, 90, 2))
+        oh, ow = (int(v) for v in rng.integers(2, 130, 2))
+        arr = (rng.uniform(0, 10, (h, w)).astype(np.float32)
+               if dtype is np.float32
+               else rng.integers(0, 2, (h, w)).astype(np.uint8))
+        ref = np.asarray(Image.fromarray(arr).resize((ow, oh),
+                                                     Image.NEAREST))
+        got = arr[T._pil_nearest_idx(h, oh)][:, T._pil_nearest_idx(w, ow)]
+        np.testing.assert_array_equal(ref, got, err_msg=f"{(h,w)}->{(oh,ow)}")
+
+
+def test_transform_resize_native_vs_pil_identical(monkeypatch):
+    """T.resize produces identical samples through the native and PIL
+    paths (image, depth, seg, scaled lines/centers)."""
+    rng = np.random.default_rng(13)
+    img = Image.fromarray(_rand_rgb(rng, 48, 64))
+    dep = rng.uniform(0, 10, (48, 64)).astype(np.float32)
+    seg = rng.integers(0, 2, (48, 64)).astype(np.uint8)
+    mk = lambda: T.Sample(img, dep.copy(), seg.copy(),
+                          np.asarray([[1.0, 2, 30, 40]]),
+                          np.asarray([[15.0, 20]]), np.asarray([0]))
+    a = T.resize(mk(), (100, 72))
+    monkeypatch.setenv("GWDEPTH_NO_NATIVE", "1")
+    b = T.resize(mk(), (100, 72))
+    assert (np.asarray(a.image) == np.asarray(b.image)).all()
+    np.testing.assert_array_equal(a.depth, b.depth)
+    np.testing.assert_array_equal(a.seg, b.seg)
+    np.testing.assert_array_equal(a.lines, b.lines)
+    np.testing.assert_array_equal(a.centers, b.centers)
