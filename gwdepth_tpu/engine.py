@@ -27,6 +27,23 @@ from gwdepth_tpu.parallel.train_step import summarize_depth, summarize_seg
 from gwdepth_tpu.utils.logging import MetricLogger
 
 
+def device_prefetch(it, sharding=None, lookahead: int = 1):
+    """Yield (device_batch, names) with the NEXT batch's host->device
+    transfer already dispatched: jax.device_put is asynchronous, so the
+    copy overlaps the current step's compute instead of serializing inside
+    the jit call. `sharding` places mesh-sharded batches directly (the
+    train/eval steps export theirs as `.batch_sharding`)."""
+    import collections
+    q = collections.deque()
+    for batch, names in it:
+        dev = jax.device_put(batch, sharding)
+        q.append((dev, names))
+        if len(q) > lookahead:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
                     loader, epoch: int, rng,
                     logger: Optional[MetricLogger] = None,
@@ -77,7 +94,9 @@ def train_one_epoch(cfg: GWDepthConfig, state, train_step: Callable,
         else:
             drain()
 
-    for batch, _names in logger.log_every(loader.epoch(epoch), header,
+    stream = device_prefetch(loader.epoch(epoch),
+                             getattr(train_step, "batch_sharding", None))
+    for batch, _names in logger.log_every(stream, header,
                                           total=len(loader),
                                           before_print=flush):
         if first and vis_dir is not None:
@@ -116,7 +135,9 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
     acc = None
     add = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
     line_dumps = []
-    for batch, names in loader.epoch(0):
+    stream = device_prefetch(loader.epoch(0),
+                             getattr(eval_step, "batch_sharding", None))
+    for batch, names in stream:
         res = eval_step(params, batch)
         if cfg.with_dense:
             cur = {"depth_sums": res["depth_sums"],
@@ -128,13 +149,15 @@ def evaluate(cfg: GWDepthConfig, params, eval_step: Callable, loader,
         if save_dense_dir is not None and "pred_depth_full" in res:
             import os
             from gwdepth_tpu.utils.visualize import save_dense_pred
+            # one pull per batch, GT included (batch lives on device now)
             got_d = jax.device_get({"d": res["pred_depth_full"],
-                                    "s": res["pred_seg_cls"]})
+                                    "s": res["pred_seg_cls"],
+                                    "gtd": batch.depth, "gts": batch.seg,
+                                    "img": batch.images})
             for i, name in enumerate(names):
                 save_dense_pred(
-                    got_d["d"][i], np.asarray(batch.depth[i]),
-                    got_d["s"][i], np.asarray(batch.seg[i]),
-                    np.asarray(batch.images[i]),
+                    got_d["d"][i], got_d["gtd"][i],
+                    got_d["s"][i], got_d["gts"][i], got_d["img"][i],
                     os.path.join(save_dense_dir, f"{name}.png"),
                     max_depth=cfg.max_depth)
         if cfg.with_line and (collect_lines or save_line_dir):

@@ -133,6 +133,7 @@ def make_train_step(cfg: GWDepthConfig, model,
 
     if mesh is None:
         fn = jax.jit(step, donate_argnums=(0,))
+        fn.batch_sharding = None
     else:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
@@ -141,6 +142,7 @@ def make_train_step(cfg: GWDepthConfig, model,
         # `model` axis via partition.place_params)
         fn = jax.jit(step, donate_argnums=(0,),
                      in_shardings=(None, data, repl))
+        fn.batch_sharding = data  # engine.device_prefetch places batches
     fn.log_keys = log_keys
     return fn
 
@@ -257,12 +259,16 @@ def make_eval_step(cfg: GWDepthConfig, model,
         return res
 
     if mesh is None:
-        return jax.jit(step)
+        fn = jax.jit(step)
+        fn.batch_sharding = None
+        return fn
     # shard the eval batch over `data` like the train step; the reduced
     # accumulators (depth_sums / confusion / eval_losses) come back
     # replicated, per-image line outputs stay batch-sharded
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(None, data))
+    fn = jax.jit(step, in_shardings=(None, data))
+    fn.batch_sharding = data
+    return fn
 
 
 def summarize_depth(depth_sums: jnp.ndarray) -> Dict[str, float]:
