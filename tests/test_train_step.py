@@ -112,6 +112,22 @@ def test_grad_accum_matches_manual_microbatch_average(harness):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_grad_accum_composes_with_mesh(harness):
+    """grad_accum=2 over the 8-device data mesh: the strided microbatch
+    split must compose with GSPMD (each microbatch spans all shards) and
+    produce a finite step."""
+    cfg, model, batch, params = harness
+    cfg2 = cfg.replace(grad_accum=2)
+    mesh = make_mesh((-1,), ("data",))
+    state = create_train_state(cfg2, jax.tree.map(jnp.copy, params), 1000)
+    step = make_train_step(cfg2, model, mesh)
+    with mesh:
+        state, logvec = step(state, batch, jax.random.PRNGKey(3))
+    logs = dict(zip(step.log_keys, np.asarray(logvec).tolist()))
+    assert np.isfinite(logs["loss"])
+    assert int(state.step) == 1
+
+
 def test_eval_step_and_loss_weighting(harness):
     cfg, model, batch, params = harness
     estep = make_eval_step(cfg, model)
