@@ -55,6 +55,7 @@ class GWDepthConfig:
     interval_sample_num: Tuple[int, ...] = (30, 80, 160)
     class_tokenfuse_layers: Tuple[bool, ...] = (False, False, False)
     class_token_dim: int = 64
+    class_init_size: int = 32        # Global2PointGraph base grid (args.py:141)
     num_ref: int = 20                # reference lines fed to window attention
     window_size: int = 7
     mlp_ratio: float = 2.0
@@ -163,6 +164,7 @@ def tiny_test_config(**kw) -> GWDepthConfig:
         group_attention_layers=((False,), (False,), (False,)),
         interval_sample_num=(6, 8, 12),
         class_token_dim=8,
+        class_init_size=4,
         num_ref=4,
         train_hw=(64, 96),
         eval_hw=(64, 96),

@@ -186,6 +186,17 @@ def _map_dense_encoder(params, rest, val):
     if name in ("depth_token", "seg_token"):
         # reference shape (1, 1, tC) -> ours (1, 1, tC)
         _set(params, f"{dst}/{name}", val.reshape(1, 1, -1))
+    elif name in ("point_depth_token", "init_token"):
+        # with_line_depth params (multiscale_transformerr.py:1028-1029),
+        # shapes identical: (1, nP, tC) / (1, cis, cis, tC)
+        _set(params, f"{dst}/{name}", val)
+    elif name.startswith("gpg"):
+        # Global2PointGraph Mlps (geometry_utils.py:476-485);
+        # dpeth_token_proj is constructed but never used in the reference
+        # forward (:490-533) -> ignored, like the pyramid layer4
+        if rest[1] in ("node_relation", "node_attention", "token_node_fuse"):
+            _put_linear(params, f"{dst}/{name}/{rest[1]}/{rest[2]}",
+                        rest[3], val)
     elif name == "dense_transformer":
         _map_basic_layer(params, f"{dst}/dense_transformer", rest[1:], val)
     elif name.startswith("class_transformer"):

@@ -38,7 +38,7 @@ def build_argparser() -> argparse.ArgumentParser:
     for name in ("batch_size", "grad_accum", "epochs", "lr_drop", "seed",
                  "num_queries", "enc_layers", "dec_layers", "hidden_dim",
                  "nheads", "dim_feedforward", "layer1_num", "num_ref",
-                 "max_lines"):
+                 "max_lines", "class_init_size"):
         p.add_argument(f"--{name}", type=int, default=getattr(cfg, name))
     p.add_argument("--clip_max_norm", type=float, default=cfg.clip_max_norm)
     p.add_argument("--backbone", type=str, default=cfg.backbone)
@@ -128,6 +128,7 @@ def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
         nheads=args.nheads, dim_feedforward=args.dim_feedforward,
         layer1_num=args.layer1_num, num_ref=args.num_ref,
         max_lines=args.max_lines, max_depth=args.max_depth,
+        class_init_size=args.class_init_size,
         with_line=args.with_line, with_dense=args.with_dense,
         with_center=args.with_center,
         with_plane_norm_loss=args.with_plane_norm_loss,

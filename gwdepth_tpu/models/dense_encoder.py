@@ -19,6 +19,25 @@ losses consume the normalized intermediates directly
 Reference-line selection takes the top `num_ref` queries by the RAW class-0
 logit (no softmax, multiscale_transformerr.py:1165-1167), endpoints only
 unless with_dense_center (:1178-1179). Layout NHWC; shapes static.
+
+`with_line_depth` (graph-based depth tokens, reference
+multiscale_transformerr.py:1028-1033, 1049, 1182-1184, 1201-1203, 1236,
+1273): learned per-line-endpoint tokens `point_depth_token` plus a coarse
+`init_token` grid are fused by Global2PointGraph (gpg1/2/3) into the
+per-pixel depth-token stream at each scale, replacing the broadcast
+`depth_token` parameter. The reference's own forward CANNOT run with this
+flag: (a) every BasicLayer is constructed with `with_point_token=False`
+(:1040 explicitly, defaults elsewhere), so no block owns `pointTokenAttn`,
+yet block.forward dereferences it whenever a point token is passed (:749)
+-> AttributeError; (b) in the gpg branch `seg_token` is never re-projected
+to the next scale (:1236-1247 vs :1240-1246 else-branch), so the 1/16-sized
+seg stream hits the 1/8 window partition -> shape error. This rebuild
+applies the MINIMAL repair: point tokens pass through blocks unchanged
+(the updater module the reference never constructs is not invented), and
+seg tokens are nearest-upsampled parameter-free between scales (the
+reference builds no seg projection in this branch). Both decisions are
+asserted against the real reference in
+tests/test_reference_parity_geometry.py.
 """
 
 from __future__ import annotations
@@ -146,12 +165,31 @@ class DenseEncoder(nn.Module):
         x = x + ConvA(D // 2, name="proj_backbn1")(pyramid[2])
         pos1 = posmap(masks[2], D // 2)
 
-        depth_tok_init = self.param("depth_token", TRUNC02, (1, 1, tC))
         seg_tok_init = self.param("seg_token", TRUNC02, (1, 1, tC))
-        depth_token = jnp.broadcast_to(depth_tok_init[:, None],
-                                       (B, h1, w1, tC)).astype(x.dtype)
         seg_token = jnp.broadcast_to(seg_tok_init[:, None],
                                      (B, h1, w1, tC)).astype(x.dtype)
+        if cfg.with_line_depth:
+            # graph-based depth tokens (see module docstring; reference
+            # multiscale_transformerr.py:1028-1033, 1201-1203). The
+            # reference hardcodes the init grid at 32 (== the default
+            # class_init_size); here it follows class_init_size.
+            from gwdepth_tpu.models.geometry import Global2PointGraph
+            cis = cfg.class_init_size
+            nP = cfg.num_ref * 2
+            point_token = jnp.broadcast_to(
+                self.param("point_depth_token", TRUNC02, (1, nP, tC)),
+                (B, nP, tC)).astype(x.dtype)
+            init_token = jnp.broadcast_to(
+                self.param("init_token", TRUNC02, (1, cis, cis, tC)),
+                (B, cis, cis, tC)).astype(x.dtype)
+            depth_token = Global2PointGraph(
+                tC, nP, cis, 1, name="gpg1")(
+                init_token, point_token, h1, w1,
+                is_init=True).reshape(B, h1, w1, tC)
+        else:
+            depth_tok_init = self.param("depth_token", TRUNC02, (1, 1, tC))
+            depth_token = jnp.broadcast_to(depth_tok_init[:, None],
+                                           (B, h1, w1, tC)).astype(x.dtype)
 
         # per-layer PointGuidedTokenFuse gate: we honor the
         # `class_tokenfuse_layers` flag the reference declares but never
@@ -181,10 +219,18 @@ class DenseEncoder(nn.Module):
         x = nn.Dense(D // 4, kernel_init=TRUNC02, name="proj_class2")(x)
         x = x + ConvA(D // 4, name="proj_backbn2")(pyramid[1])
         pos2 = posmap(masks[1], D // 4)
-        depth_token = MlpNorm(tC * 2, tC, name="old_depth_token_proj8")(
-            _up_nhwc(depth_token, (h2, w2)))
-        seg_token = MlpNorm(tC * 2, tC, name="old_seg_token_proj8")(
-            _up_nhwc(seg_token, (h2, w2)))
+        if cfg.with_line_depth:
+            depth_token = Global2PointGraph(
+                tC, cfg.num_ref * 2, cfg.class_init_size, 2, name="gpg2")(
+                depth_token, point_token, h2, w2).reshape(B, h2, w2, tC)
+            # minimal repair: the reference builds no seg projection in
+            # this branch (module docstring)
+            seg_token = _up_nhwc(seg_token, (h2, w2))
+        else:
+            depth_token = MlpNorm(tC * 2, tC, name="old_depth_token_proj8")(
+                _up_nhwc(depth_token, (h2, w2)))
+            seg_token = MlpNorm(tC * 2, tC, name="old_seg_token_proj8")(
+                _up_nhwc(seg_token, (h2, w2)))
 
         tokpos2 = posmap(masks[1], tC) if tokfuse[1] else None
         x, depth_token, seg_token = SwinLayer(
@@ -217,10 +263,16 @@ class DenseEncoder(nn.Module):
         x = nn.Dense(D // 8, kernel_init=TRUNC02, name="proj_class3")(x)
         x = x + ConvA(D // 8, name="proj_backbn3")(pyramid[0])
         pos3 = posmap(masks[0], D // 8)
-        depth_token = MlpNorm(tC * 2, tC, name="old_depth_token_proj4")(
-            _up_nhwc(depth_token, (h3, w3)))
-        seg_token = MlpNorm(tC * 2, tC, name="old_seg_token_proj4")(
-            _up_nhwc(seg_token, (h3, w3)))
+        if cfg.with_line_depth:
+            depth_token = Global2PointGraph(
+                tC, cfg.num_ref * 2, cfg.class_init_size, 4, name="gpg3")(
+                depth_token, point_token, h3, w3).reshape(B, h3, w3, tC)
+            seg_token = _up_nhwc(seg_token, (h3, w3))
+        else:
+            depth_token = MlpNorm(tC * 2, tC, name="old_depth_token_proj4")(
+                _up_nhwc(depth_token, (h3, w3)))
+            seg_token = MlpNorm(tC * 2, tC, name="old_seg_token_proj4")(
+                _up_nhwc(seg_token, (h3, w3)))
 
         tokpos3 = posmap(masks[0], tC) if tokfuse[2] else None
         x, depth_token, seg_token = SwinLayer(

@@ -570,7 +570,7 @@ def make_ref_args(cfg, **over):
         lr_backbone=cfg.lr_backbone,
         output_dir="",
         # defaults the reference hardcodes (src/args.py:141-165)
-        class_init_size=32,
+        class_init_size=getattr(cfg, "class_init_size", 32),
         points_double_layers=[False, False, False],
         with_point_attention=False,
         adaptive_min_ratio=1 / 16,

@@ -162,3 +162,45 @@ def test_glassrgbd_group_attention_path():
     # the ref-mixture params must exist in the class transformers
     p = params["params"]["dense_encoder"]["class_transformer1"]["block0"]
     assert "ref" in p["attn"], list(p["attn"].keys())
+
+
+def test_glassrgbd_with_line_depth_path():
+    """with_line_depth on -> depth tokens come from Global2PointGraph fused
+    with learned per-line-endpoint tokens instead of a broadcast parameter
+    (reference gate, src/args.py:131; the reference's own forward cannot
+    run it — see models/dense_encoder.py docstring and the bitrot
+    assertions in tests/test_reference_parity_geometry.py)."""
+    cfg = tiny_test_config(with_line_depth=True)
+    model = GlassRGBD(cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (1, *cfg.train_hw, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    de = params["params"]["dense_encoder"]
+    assert "point_depth_token" in de and "init_token" in de
+    assert all(f"gpg{i}" in de for i in (1, 2, 3)), list(de.keys())
+    # the broadcast token and the MlpNorm reprojections are NOT built
+    assert "depth_token" not in de
+    assert "old_depth_token_proj8" not in de
+    assert "old_seg_token_proj8" not in de
+    assert de["point_depth_token"].shape == (
+        1, cfg.num_ref * 2, cfg.class_token_dim)
+    assert de["init_token"].shape == (
+        1, cfg.class_init_size, cfg.class_init_size, cfg.class_token_dim)
+
+    out = model.apply(params, imgs)
+    B, H, W = 1, *cfg.train_hw
+    for d, s in zip(out["pred_depth"], (16, 8, 4, 1)):
+        assert d.shape == (B, H // s, W // s)
+        assert np.isfinite(np.asarray(d)).all()
+
+    # gradients flow into the graph-token machinery
+    def loss(p):
+        o = model.apply({"params": p}, imgs)
+        return jnp.sum(o["pred_depth"][-1]) + jnp.sum(o["pred_seg"])
+
+    g = jax.grad(loss)(params["params"])
+    gd = g["dense_encoder"]
+    for path in ("point_depth_token", "init_token"):
+        arr = np.asarray(gd[path])
+        assert np.isfinite(arr).all() and np.abs(arr).max() > 0, path
+    k = np.asarray(gd["gpg1"]["node_attention"]["fc1"]["kernel"])
+    assert np.isfinite(k).all() and np.abs(k).max() > 0

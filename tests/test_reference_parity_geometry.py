@@ -269,3 +269,66 @@ def test_reflection_reduce_reference_is_bitrotten(ref):
     outs = m.apply({"params": params}, x, sizes)
     assert [o.shape for o in outs] == [(1, 2, 3, 256), (1, 4, 6, 128),
                                        (1, 8, 12, 64)]
+
+
+def test_with_line_depth_reference_is_bitrotten(ref):
+    """`--with_line_depth` cannot run in the reference: NO BasicLayer is
+    constructed with with_point_token=True (multiscale_transformerr.py:1040
+    passes False explicitly; the class transformers leave the default
+    False), so no block owns `pointTokenAttn` — yet SwinTransformerBlock
+    dereferences it whenever a point token is threaded through (:749), and
+    ReferTransformer always threads it when the flag is on (:1182-1186).
+    Our dense encoder wires the gate with the minimal repair documented in
+    models/dense_encoder.py."""
+    cfg = tiny_test_config(with_line_depth=True)
+    args = make_ref_args(cfg)
+    torch.manual_seed(21)
+    rt = ref.multiscale_transformerr.ReferTransformer(
+        args, [256, 512, 1024, cfg.dense_trans_dim]).eval()
+    blocks = [b for layer in (rt.dense_transformer, rt.class_transformer1,
+                              rt.class_transformer2, rt.class_transformer3)
+              for b in layer.blocks]
+    assert blocks and not any(hasattr(b, "pointTokenAttn") for b in blocks)
+
+    blk = rt.dense_transformer.blocks[0]          # shift 0, WindowAttention
+    blk.H = blk.W = 7
+    D, tC = cfg.dense_trans_dim, cfg.class_token_dim
+    x = torch.randn(1, 49, D)
+    ref_coors = torch.rand(1, cfg.num_ref, 2, 2) * 2 - 1
+    point_token = torch.randn(1, cfg.num_ref * 2, tC)
+    with torch.no_grad(), pytest.raises(AttributeError,
+                                        match="pointTokenAttn"):
+        blk(x, None, ref_coors=ref_coors, point_token=point_token)
+
+
+def test_with_line_depth_converter_coverage(ref):
+    """Every with_line_depth tensor the reference forward would consume
+    (point_depth_token, init_token, gpg1/2/3 node Mlps — geometry_utils.py
+    :476-533) maps onto the rebuilt gate at matching shapes.  The
+    reference hardcodes the init grid at 32 (multiscale_transformerr.py
+    :1029), which equals the default class_init_size; any other value makes
+    the reference inconsistent with its own gpg1 (token_node_fuse sized
+    2*class_init_size), so the comparison pins class_init_size=32.
+    gpg*.dpeth_token_proj is constructed but never used by the reference
+    forward — skipped like the pyramid layer4."""
+    cfg = tiny_test_config(with_line_depth=True, class_init_size=32)
+    args = make_ref_args(cfg)
+    torch.manual_seed(23)
+    rt = ref.multiscale_transformerr.ReferTransformer(
+        args, [256, 512, 1024, cfg.dense_trans_dim])
+    state = {f"dense_encoder.{k}": v
+             for k, v in state_dict_numpy(rt).items()}
+    from gwdepth_tpu.convert.full_model import (glassrgbd_torch_to_flax,
+                                                coverage)
+    overlay = glassrgbd_torch_to_flax(state)["dense_encoder"]
+
+    from gwdepth_tpu.models.glassrgbd import GlassRGBD
+    model = GlassRGBD(cfg)
+    imgs = jnp.zeros((1, *cfg.train_hw, 3))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), imgs)["params"]["dense_encoder"]
+    for sub in ("gpg1", "gpg2", "gpg3"):
+        c, t, missing = coverage(overlay[sub], params[sub])
+        assert t > 0 and c == t, (sub, missing)
+    for name in ("point_depth_token", "init_token"):
+        assert np.shape(overlay[name]) == np.shape(params[name]), name
