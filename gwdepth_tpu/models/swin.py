@@ -289,20 +289,27 @@ class WindowClassAttention(nn.Module):
 
         proj_dth = nn.Dense(tC, kernel_init=TRUNC02, name="proj_dth")
 
-        def token_update(tok_q):
-            # channel attention: (B,nW,H,d_tok,N) @ (B,nW,H,N,d_kv)
-            a = jnp.einsum("bwhnd,bwhne->bwhde", tok_q, tk,
-                           preferred_element_type=jnp.float32)
-            a = jax.nn.softmax(a, axis=-1).astype(tv.dtype)
-            # (B,nW,H,d_tok,d_kv) @ (B,nW,H,d_kv,N)^T -> (B,nW,H,d_tok,N)
-            t = jnp.einsum("bwhde,bwhne->bwhdn", a, tv)
+        # both token streams attend over the SAME tk/tv, and each channel
+        # group is an independent softmax row — so run depth+seg as ONE
+        # einsum pair (2x fewer small-dim dispatches; math identical)
+        d_tok = tC // H
+        q2 = jnp.concatenate([dq, sq], axis=-1)     # (B,nW,H,N,2*d_tok)
+        # channel attention: (B,nW,H,2d,N) @ (B,nW,H,N,d_kv)
+        a = jnp.einsum("bwhnd,bwhne->bwhde", q2, tk,
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(a, axis=-1).astype(tv.dtype)
+        # (B,nW,H,2d,d_kv) @ (B,nW,H,d_kv,N)^T -> (B,nW,H,2d,N)
+        t2 = jnp.einsum("bwhde,bwhne->bwhdn", a, tv)
+
+        def finish(t):
             # heads*d_tok = tC channels, back to (B, nW, N, tC)
-            t = t.reshape(B, nW, H * (tC // H), N)
+            t = t.reshape(B, nW, H * d_tok, N)
             t = jnp.moveaxis(t, 2, 3)
             # reference applies proj_dth to BOTH streams (ref :572,578)
             return proj_dth(t)
 
-        return x_out, token_update(dq), token_update(sq)
+        return (x_out, finish(t2[..., :d_tok, :]),
+                finish(t2[..., d_tok:, :]))
 
 
 class Mlp(nn.Module):
