@@ -332,3 +332,25 @@ def test_with_line_depth_converter_coverage(ref):
         assert t > 0 and c == t, (sub, missing)
     for name in ("point_depth_token", "init_token"):
         assert np.shape(overlay[name]) == np.shape(params[name]), name
+
+
+def test_plain_swin_dense_block_reference_is_bitrotten(ref):
+    """The shipped stage-1 TRAIN recipe (--with_center --with_dense, no
+    --with_line: script/train/a0_train_stage1_res50_glassrgbd.sh:24) makes
+    the 1/32 dense layer use OriginWindowAttention — which the reference
+    cannot even CONSTRUCT: SwinTransformerBlock passes
+    `group_attention=...` unconditionally (multiscale_transformerr.py:614)
+    but swin_transformer.WindowAttention accepts no such kwarg
+    (swin_transformer.py:108) -> TypeError. (Were construction patched,
+    the forward would still die: the Origin branch never binds `win_attn`,
+    :727 vs :733.) The published model must predate this refactor; our
+    PlainWindowAttention fallback path runs it (tests/test_dense.py +
+    test_reference_parity_eval.py module-level parity)."""
+    cfg = tiny_test_config(with_line=False)
+    args = make_ref_args(cfg)
+    MT = ref.multiscale_transformerr
+    with pytest.raises(TypeError, match="group_attention"):
+        MT.BasicLayer(dim=cfg.dense_trans_dim, depth=1,
+                      num_heads=cfg.dense_trans_heads,
+                      window_attn=MT.OriginWindowAttention,
+                      window_size=7, mlp_ratio=2, args=args)
