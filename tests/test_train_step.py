@@ -243,3 +243,32 @@ def test_sharded_eval_step_with_batch_padding(harness):
                                np.asarray(res_ref["eval_losses"]),
                                rtol=1e-4, atol=1e-5)
     assert float(res_pad["eval_loss_count"]) == keep
+
+
+def test_bf16_train_step_finite_and_close_to_f32():
+    """--bf16 (cfg.dtype='bfloat16') runs the train step with bf16 compute
+    (params stay f32): loss must be finite and within bf16 tolerance of
+    the f32 step on identical params/batch. Guards the CLI gate from rot —
+    the reference has no mixed-precision path at all."""
+    cfg = tiny_test_config()
+    model = GlassRGBD(cfg)
+    batch = dummy_batch(cfg, 2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 batch.images)["params"]
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        c = cfg.replace(dtype=dtype)
+        m = GlassRGBD(c)
+        state = create_train_state(c, jax.tree.map(jnp.copy, params), 1000)
+        step = make_train_step(c, m)
+        state, log = step(state, batch, jax.random.PRNGKey(1))
+        logs = dict(zip(step.log_keys, np.asarray(log)))
+        assert np.isfinite(logs["loss"]), (dtype, logs)
+        losses[dtype] = float(logs["loss"])
+        # params updated and finite
+        k = np.asarray(
+            state.params["transformer"]["encoder_layer0"]["linear1"]["kernel"])
+        assert np.isfinite(k).all()
+    assert abs(losses["bfloat16"] - losses["float32"]) <= (
+        0.1 * abs(losses["float32"]) + 0.05), losses
