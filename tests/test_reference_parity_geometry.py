@@ -354,3 +354,52 @@ def test_plain_swin_dense_block_reference_is_bitrotten(ref):
                       num_heads=cfg.dense_trans_heads,
                       window_attn=MT.OriginWindowAttention,
                       window_size=7, mlp_ratio=2, args=args)
+
+
+def test_global2point_graph_chain_vs_reference(ref):
+    """The 3-scale gpg CHAIN with the reference's own reshape glue:
+    depth_token (B, H*W, tC) -> (B, H, W, tC) grid between scales
+    (multiscale_transformerr.py:1201, :1236, :1273). Catches row-major
+    reshape/layout divergence that single-module parity cannot."""
+    cfg = tiny_test_config(class_token_dim=8, class_init_size=4)
+    args = make_ref_args(cfg)
+    dim, nP = cfg.class_token_dim, cfg.num_ref * 2
+    cis = cfg.class_init_size
+    B = 2
+    h1, w1, h2, w2, h3, w3 = 4, 6, 8, 12, 16, 24
+    torch.manual_seed(31)
+    gpg1 = ref.geometry_utils.Global2PointGraph(1, nP, args).eval()
+    gpg2 = ref.geometry_utils.Global2PointGraph(2, nP, args).eval()
+    gpg3 = ref.geometry_utils.Global2PointGraph(4, nP, args).eval()
+
+    rng = np.random.default_rng(31)
+    init = rng.standard_normal((B, cis, cis, dim), dtype=np.float32)
+    pt = rng.standard_normal((B, nP, dim), dtype=np.float32)
+    with torch.no_grad():
+        t1 = gpg1(torch.from_numpy(init), torch.from_numpy(pt),
+                  h1, w1, is_init=True)                       # (B, h1*w1, C)
+        t2 = gpg2(t1.reshape(B, h1, w1, -1), torch.from_numpy(pt), h2, w2)
+        t3 = gpg3(t2.reshape(B, h2, w2, -1), torch.from_numpy(pt), h3, w3)
+
+    from gwdepth_tpu.models.geometry import Global2PointGraph
+    outs_t = [np.asarray(t.reshape(B, h, w, dim)) for t, (h, w) in
+              zip((t1, t2, t3), ((h1, w1), (h2, w2), (h3, w3)))]
+
+    tok = jnp.asarray(init)
+    out_j = []
+    for i, (ratio, rt, hw) in enumerate(
+            zip((1, 2, 4), (gpg1, gpg2, gpg3),
+                ((h1, w1), (h2, w2), (h3, w3)))):
+        m = Global2PointGraph(dim, nP, init_size=cis, upsample_ratio=ratio)
+        sd = state_dict_numpy(rt)
+        overlay = {k: mlp(sd, k) for k in
+                   ("node_relation", "node_attention", "token_node_fuse")}
+        params = m.init(jax.random.PRNGKey(i), tok, jnp.asarray(pt),
+                        *hw, i == 0)["params"]
+        check_complete(params, overlay)
+        tok = m.apply({"params": overlay}, tok, jnp.asarray(pt),
+                      *hw, i == 0).reshape(B, *hw, dim)
+        out_j.append(np.asarray(tok))
+
+    for i, (a, b) in enumerate(zip(out_j, outs_t)):
+        _close(a, b, msg=f"gpg chain stage {i+1}")
