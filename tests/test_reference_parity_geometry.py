@@ -403,3 +403,24 @@ def test_global2point_graph_chain_vs_reference(ref):
 
     for i, (a, b) in enumerate(zip(out_j, outs_t)):
         _close(a, b, msg=f"gpg chain stage {i+1}")
+
+
+def test_sample_along_and_mid_seg_vs_reference(ref):
+    """Line-point densifiers vs the real points_sample.py:368-424
+    (library functions, runnable standalone; previously covered only by
+    behavioral invariants in test_geometry_parity.py)."""
+    rng = np.random.default_rng(37)
+    B, L, n = 2, 5, 10
+    lines = (rng.random((B, L, 2, 2), dtype=np.float32) * 2 - 1)
+    H, W = 480, 640
+
+    out_t = ref.points_sample.sample_along_seg(
+        torch.from_numpy(lines.copy()), H, W, sample_num_seg=n)
+    from gwdepth_tpu.models.points import sample_along_seg, sample_mid_seg
+    out_j = sample_along_seg(jnp.asarray(lines), H, W, sample_num_seg=n)
+    _close(out_j, out_t.numpy(), atol=1e-5, msg="sample_along_seg")
+
+    mid_t = ref.points_sample.sample_mid_seg(torch.from_numpy(lines.copy()),
+                                             H, W)
+    mid_j = sample_mid_seg(jnp.asarray(lines))
+    _close(mid_j, mid_t.numpy(), atol=1e-6, msg="sample_mid_seg")
