@@ -84,3 +84,21 @@ def test_resolve_checkpoint_path(tmp_path, monkeypatch):
     url = "https://dl.fbaipublicfiles.com/detr/detr-r50-e632da11.pth"
     assert resolve_checkpoint_path(url) == str(cache /
                                                "detr-r50-e632da11.pth")
+
+
+def test_cli_flag_plumbing_line_depth_and_init_size():
+    """--with_line_depth / --class_init_size reach the config in both the
+    full and the --tiny CLI branches (the tiny branch silently dropping
+    gates was a round-1 advisor finding)."""
+    from gwdepth_tpu.main import build_argparser, config_from_args
+    ap = build_argparser()
+    base = ["--data_path", "/tmp/x", "--output_dir", "/tmp/y"]
+
+    args = ap.parse_args(base + ["--with_line_depth",
+                                 "--class_init_size", "16"])
+    cfg = config_from_args(args)
+    assert cfg.with_line_depth and cfg.class_init_size == 16
+
+    args = ap.parse_args(base + ["--tiny", "--with_line_depth"])
+    cfg = config_from_args(args)
+    assert cfg.with_line_depth
