@@ -139,6 +139,54 @@ def bench_train_step(seed: int):
     return ips, (flops * ips / PEAK_FLOPS if flops else None)
 
 
+def _probe_tunnel(timeout_s: float = 150.0) -> bool:
+    """True if a trivial TPU matmul completes in a fresh subprocess.
+
+    The axon tunnel can WEDGE so hard that even `x @ x` hangs (CLAUDE.md);
+    the wedge is tied to tunnel state, not this process, and historically
+    clears on its own within ~1 h.  Probing in a SUBPROCESS (cwd must be
+    the repo root for the axon plugin to register) lets us kill a hung
+    probe cleanly and retry, instead of wedging the benchmark process
+    itself."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((256, 256))\n"
+        "print(float((x @ x).sum()))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           cwd=os.path.dirname(os.path.abspath(__file__)),
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_tunnel(budget_minutes: float = 35.0) -> bool:
+    """Probe until the tunnel answers or the budget runs out.  Keeps a
+    transient wedge from costing the round its headline number while
+    still aborting (via the caller) if the outage outlasts the budget."""
+    import sys
+
+    deadline = time.monotonic() + budget_minutes * 60.0
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_tunnel():
+            if attempt > 1:
+                print(f"bench.py: tunnel answered on probe {attempt}",
+                      file=sys.stderr, flush=True)
+            return True
+        if time.monotonic() > deadline:
+            return False
+        print(f"bench.py: tunnel probe {attempt} hung — wedged? "
+              "waiting 5 min before retry", file=sys.stderr, flush=True)
+        time.sleep(300.0)
+
+
 def _watchdog(minutes: float = 20.0):
     """The axon tunnel can WEDGE so hard that even device warmup blocks
     forever (CLAUDE.md).  If the benchmark hasn't finished within the
@@ -161,6 +209,11 @@ def _watchdog(minutes: float = 20.0):
 
 def main():
     seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
+    if not _wait_for_tunnel():
+        import sys
+        print("bench.py: tunnel never answered within the probe budget — "
+              "aborting without a JSON line", file=sys.stderr, flush=True)
+        raise SystemExit(3)
     watchdog = _watchdog()
 
     tr_ips, tr_mfu = bench_train_step(seed)
