@@ -47,6 +47,36 @@ def make_lr_schedule(base_lr: float, steps_per_epoch: int,
     return sched
 
 
+def clip_like_torch(max_norm: float, label_fn) -> optax.GradientTransformation:
+    """Global-norm clip with `torch.nn.utils.clip_grad_norm_` semantics
+    (engine_glassrgbd.py:157-159):
+
+    * frozen params are `requires_grad=False` in the reference (backbone
+      stem, backbone.py:62-64; FrozenBatchNorm tensors are buffers), so
+      their grads DO NOT EXIST there and are excluded from the norm. Here
+      the functional grad covers every leaf, so frozen-labeled grads are
+      zeroed before the norm is taken — with clip 0.1 active on nearly
+      every step, including them would rescale every real update.
+    * torch's factor is max_norm / (norm + 1e-6) clamped to 1, applied
+      unconditionally (optax clips only above the threshold, no eps)."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        labels = label_fn(updates)
+        updates = jax.tree.map(
+            lambda g, l: jnp.zeros_like(g) if l == "frozen" else g,
+            updates, labels)
+        g_norm = optax.global_norm(updates)
+        coef = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+        return jax.tree.map(lambda g: g * coef.astype(g.dtype),
+                            updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: GWDepthConfig, steps_per_epoch: int = 1000
                    ) -> optax.GradientTransformation:
     """Global-norm clip (0.1, engine_glassrgbd.py:157-159) then grouped
@@ -63,7 +93,7 @@ def make_optimizer(cfg: GWDepthConfig, steps_per_epoch: int = 1000
         {"main": adamw(cfg.lr), "backbone": adamw(cfg.lr_backbone),
          "frozen": optax.set_to_zero()},
         label_fn)
-    return optax.chain(optax.clip_by_global_norm(cfg.clip_max_norm), grouped)
+    return optax.chain(clip_like_torch(cfg.clip_max_norm, label_fn), grouped)
 
 
 @flax.struct.dataclass

@@ -587,7 +587,10 @@ def make_ref_args(cfg, **over):
 # ---------------------------------------------------------------------------
 
 def state_dict_numpy(module: tnn.Module):
-    return {k: v.detach().cpu().numpy() for k, v in
+    # .copy(): .numpy() on a CPU tensor ALIASES its storage, so a later
+    # in-place optimizer step would silently rewrite the snapshot (bit us
+    # in the trajectory test: "initial" weights tracked the trained ones).
+    return {k: v.detach().cpu().numpy().copy() for k, v in
             module.state_dict().items()}
 
 
