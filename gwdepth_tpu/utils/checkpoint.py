@@ -108,6 +108,19 @@ class CheckpointManager:
                                   step=restored["state"]["step"])
         return new_state, int(restored["meta"]["epoch"]) + 1
 
+    def load_meta(self, epoch: Optional[int] = None):
+        """Read a checkpoint's JSON metadata ({'epoch', 'config'}) without
+        restoring any arrays — lets tools rebuild the training
+        GWDepthConfig from the checkpoint alone (e.g.
+        convert/export_torch.py's CLI)."""
+        import orbax.checkpoint as ocp
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(meta=ocp.args.JsonRestore()))
+        return restored["meta"]
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -90,3 +90,22 @@ def test_resume_lr_drop_override(tmp_path):
     step = 5 * spe                           # epoch 5
     assert float(old_sched(step)) == pytest.approx(1e-4)
     assert float(new_sched(step)) == pytest.approx(1e-6)  # 5//2 = 2 drops
+
+
+def test_load_meta_returns_epoch_and_config(tmp_path):
+    """load_meta reads the JSON sidecar (epoch + full config dict) without
+    restoring arrays — the convert/export_torch.py CLI rebuilds the
+    training GWDepthConfig from it."""
+    cfg = tiny_test_config()
+    params = {"w": jnp.ones((2, 2))}
+    state = create_train_state(cfg, params, steps_per_epoch=10)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, state, cfg)
+    mgr.wait()
+    meta = mgr.load_meta()
+    assert meta["epoch"] == 3
+    assert meta["config"]["num_queries"] == cfg.num_queries
+    assert tuple(meta["config"]["eval_hw"]) == cfg.eval_hw
+    # empty dir -> None
+    assert CheckpointManager(str(tmp_path / "none")).load_meta() is None
+    mgr.close()
