@@ -235,3 +235,41 @@ def test_sne_normals_matches_torch_oracle():
     n = np.linalg.norm(got, axis=0)
     assert np.isfinite(got).all()
     assert (np.abs(n[2:-2, 2:-2] - 1.0) < 1e-3).all()
+
+
+def test_synthetic_dataset_generator(tmp_path):
+    """The generator's output must load through the real dataset layer:
+    metric depth with holes, binary seg, >=4 lines per panel with centers,
+    and panels strictly in front of the background."""
+    import json
+
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.data.dataset import GlassRGBDDataset
+    from gwdepth_tpu.tools.synthetic import generate_dataset
+
+    root = str(tmp_path)
+    names = generate_dataset(root, n_train=2, n_val=1,
+                             height=120, width=160, seed=3)
+    assert len(names) == 3
+
+    cfg = GWDepthConfig(
+        eval_hw=(96, 128), train_hw=(96, 128), with_center=True,
+        data_path=f"{root}/rgb", gt_depth_path=f"{root}/depth",
+        gt_seg_path=f"{root}/seg", gt_line_path=f"{root}/lines",
+        filenames_file_train=f"{root}/train.txt",
+        filenames_file_eval=f"{root}/val.txt",
+        glassrgbd_images_json=f"{root}/glassrgbd_images.json")
+    ds = GlassRGBDDataset(cfg, split="val")
+    assert len(ds) == 1 and len(ds.id_to_img) == 3
+    s, name = ds.load_raw(0)
+    depth_m = s.depth / 1000.0
+    valid = s.depth > 0
+    assert valid.mean() > 0.9                      # holes are sparse
+    assert 0.5 < depth_m[valid].min() < 4.0        # a panel in front
+    assert depth_m[valid].max() > 4.0              # background behind
+    assert set(np.unique(s.seg)) <= {0, 255}
+    n_panels = len(json.load(open(f"{root}/lines/{name}.json"))["shapes"])
+    assert len(s.lines) == 4 * n_panels            # 4 border lines each
+    assert s.centers.shape == (len(s.lines), 2)
+    # every line endpoint inside the image
+    assert (s.lines[:, 0::2] <= 160).all() and (s.lines >= 0).all()
