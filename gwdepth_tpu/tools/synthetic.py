@@ -150,7 +150,7 @@ def generate_dataset(root: str, n_train: int, n_val: int,
             rgb, depth_mm, seg, shapes = generate_scene(rng, height, width)
             Image.fromarray(rgb).save(
                 os.path.join(root, "rgb", name + ".png"))
-            Image.fromarray(depth_mm, "I;16").save(
+            Image.fromarray(depth_mm).save(
                 os.path.join(root, "depth", name + ".png"))
             Image.fromarray(seg * 255).save(
                 os.path.join(root, "seg", name + ".png"))

@@ -169,6 +169,64 @@ def bench_fwd_variants():
     return out
 
 
+def bench_train_variants():
+    """Slope-measured decomposition of the full 704x1024 train step:
+    full step vs no-optimizer vs forward-only, and each of those with the
+    line criterion dropped (XLA then DCEs the line branch + its backward),
+    to price backward / matcher+criterion / optimizer separately."""
+    import dataclasses
+
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.data.batch import dummy_batch
+    from gwdepth_tpu.models import GlassRGBD
+    from gwdepth_tpu.parallel import create_train_state
+    from gwdepth_tpu.parallel.train_step import compute_losses
+
+    cfg = GWDepthConfig(train_hw=(704, 1024), batch_size=1)
+    cfg_noline = dataclasses.replace(cfg, with_line=False)
+    model = GlassRGBD(cfg)
+    batch = dummy_batch(cfg, batch_size=1)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, batch.images)["params"]
+    state = create_train_state(cfg, params, steps_per_epoch=1000)
+
+    def loss_fn(p, images, c):
+        outputs = model.apply({"params": p}, images, batch.valid,
+                              deterministic=False, rngs={"dropout": rng})
+        total, _ = compute_losses(c, outputs, batch.replace(images=images))
+        return total
+
+    def full(images):
+        grads = jax.grad(loss_fn)(state.params, images, cfg)
+        return (state.apply_gradients(grads).params,)
+
+    def grad_only(c):
+        def fn(images):
+            return (jax.grad(loss_fn)(state.params, images, c),)
+        return fn
+
+    def loss_only(c):
+        def fn(images):
+            return (loss_fn(state.params, images, c),)
+        return fn
+
+    x = jax.random.normal(jax.random.PRNGKey(_seed()),
+                          batch.images.shape)
+    out = {}
+    for tag, fn in {
+            "full_step": full,
+            "grad": grad_only(cfg),
+            "grad_noline": grad_only(cfg_noline),
+            "loss_fwd": loss_only(cfg),
+            "loss_fwd_noline": loss_only(cfg_noline),
+    }.items():
+        try:
+            out[tag] = round(timed_scan(fn, (x,), n_rep=3) * 1e3, 2)
+        except Exception as e:
+            out[tag] = f"FAILED: {type(e).__name__}: {e}"[:120]
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="pyramid,sample,diffusion")
@@ -186,6 +244,8 @@ def main():
                               "pallas": bench_eval_fwd(True)}
     if "variants" in what:
         res["fwd_variants_ms"] = bench_fwd_variants()
+    if "train" in what:
+        res["train_variants_ms"] = bench_train_variants()
     print(json.dumps(res, indent=1))
 
 
