@@ -265,7 +265,10 @@ class Loader:
 
         def worker():
             import collections
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            # num_workers=0 means "load in the caller" in the reference's
+            # DataLoader; the threaded equivalent is a 1-thread pool
+            # (ThreadPoolExecutor(0) raises).
+            with ThreadPoolExecutor(max(1, self.num_workers)) as pool:
                 pending: "collections.deque" = collections.deque()
                 bi = 0
                 while bi < nb or pending:
@@ -288,10 +291,22 @@ class Loader:
                     q.put((make_batch(samples), names))
             q.put(None)
 
-        t = threading.Thread(target=worker, daemon=True)
+        def worker_guard():
+            # any worker exception must reach the consumer — a dead worker
+            # that never enqueues its sentinel hangs q.get() forever
+            # (observed: ThreadPoolExecutor(0) raising at thread start left
+            # a training run blocked indefinitely)
+            try:
+                worker()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+
+        t = threading.Thread(target=worker_guard, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

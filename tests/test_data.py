@@ -165,6 +165,40 @@ def test_dataset_and_loader(disk_dataset):
     assert batch.line_mask.dtype == bool and len(names) == 2
 
 
+def test_loader_zero_workers(disk_dataset):
+    """num_workers=0 (the reference DataLoader's in-process mode) must
+    iterate, not hang: ThreadPoolExecutor(0) raises at thread start, and
+    a dead worker that never enqueues its sentinel blocked q.get()
+    forever (observed as an indefinitely stuck training run)."""
+    cfg = disk_dataset
+    ds = GlassRGBDDataset(cfg, "train")
+    loader = Loader(ds, batch_size=2, seed=0, num_workers=0)
+    assert len(list(loader.epoch(0))) == 2
+
+
+def test_loader_propagates_worker_errors(disk_dataset):
+    """A dataset exception must surface in the consuming thread instead
+    of hanging the epoch iterator."""
+    cfg = disk_dataset
+    ds = GlassRGBDDataset(cfg, "train")
+
+    class Boom(GlassRGBDDataset):
+        def __init__(self):
+            pass
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise RuntimeError("decode failed")
+            return ds[i]
+
+    loader = Loader(Boom(), batch_size=2, shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader.epoch(0))
+
+
 def test_eval_split_deterministic(disk_dataset):
     cfg = disk_dataset
     ds = GlassRGBDDataset(cfg, "val")

@@ -15,7 +15,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+# `python tools/bench_ablation.py` puts tools/ (not the repo root) on
+# sys.path; the axon plugin needs cwd == repo root anyway, so pin both.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,19 +30,27 @@ def _seed() -> int:
     return int.from_bytes(os.urandom(8), "little") % (2 ** 31)
 
 
-def timed_scan(fn, xs, n_rep: int = 6):
+def timed_scan(fn, xs, n_rep: int = 6, consts=None):
     """Per-iteration wall time of `fn(*xs)` by the SLOPE method: time the
     same in-jit scan at n=8 and n=32 trips and divide the difference by
     24.  Dividing ONE blocked call by its trip count inflates the result
     by (fixed ~30-40 ms tunnel dispatch)/n — the slope cancels it
     (CLAUDE.md measurement notes; verified against bench.py's sustained
-    pipeline numbers)."""
+    pipeline numbers).
+
+    `consts`: a pytree passed as a REAL jit argument and prepended to
+    `fn`'s args (fn(consts, *xs)). Big loop-invariant state (params,
+    opt_state) must ride here — closed-over arrays serialize into the
+    program body as constants, and a 66M-param train state blows the
+    remote-compile request past the tunnel's HTTP 413 size limit."""
 
     def make(n_loop):
         @jax.jit
-        def run(args, noise):
+        def run(consts, args, noise):
             def body(carry, eps):
-                out = fn(*[a + eps * 0 for a in args])
+                fresh = [a + eps * 0 for a in args]
+                out = (fn(consts, *fresh) if consts is not None
+                       else fn(*fresh))
                 # fold the output back in so iterations cannot be elided;
                 # the (zero-scaled) noise keeps the loop non-invariant
                 s = sum(jnp.sum(o) for o in jax.tree.leaves(out))
@@ -57,7 +70,7 @@ def timed_scan(fn, xs, n_rep: int = 6):
             t0 = time.perf_counter()
             # float() forces execution through the tunnel even for scalar
             # outputs (block_until_ready alone can return early, CLAUDE.md)
-            float(runs[n](args=xs, noise=noise))
+            float(runs[n](consts, xs, noise))
             dt = time.perf_counter() - t0
             if r:                   # first rep is compile+warm
                 times[n].append(dt)
@@ -190,24 +203,27 @@ def bench_train_variants():
     params = jax.jit(model.init)(rng, batch.images)["params"]
     state = create_train_state(cfg, params, steps_per_epoch=1000)
 
-    def loss_fn(p, images, c):
-        outputs = model.apply({"params": p}, images, batch.valid,
+    def loss_fn(p, bt, images, c):
+        outputs = model.apply({"params": p}, images, bt.valid,
                               deterministic=False, rngs={"dropout": rng})
-        total, _ = compute_losses(c, outputs, batch.replace(images=images))
+        total, _ = compute_losses(c, outputs, bt.replace(images=images))
         return total
 
-    def full(images):
-        grads = jax.grad(loss_fn)(state.params, images, cfg)
-        return (state.apply_gradients(grads).params,)
+    def full(consts, images):
+        st, bt = consts
+        grads = jax.grad(loss_fn)(st.params, bt, images, cfg)
+        return (st.apply_gradients(grads).params,)
 
     def grad_only(c):
-        def fn(images):
-            return (jax.grad(loss_fn)(state.params, images, c),)
+        def fn(consts, images):
+            st, bt = consts
+            return (jax.grad(loss_fn)(st.params, bt, images, c),)
         return fn
 
     def loss_only(c):
-        def fn(images):
-            return (loss_fn(state.params, images, c),)
+        def fn(consts, images):
+            st, bt = consts
+            return (loss_fn(st.params, bt, images, c),)
         return fn
 
     x = jax.random.normal(jax.random.PRNGKey(_seed()),
@@ -221,7 +237,9 @@ def bench_train_variants():
             "loss_fwd_noline": loss_only(cfg_noline),
     }.items():
         try:
-            out[tag] = round(timed_scan(fn, (x,), n_rep=3) * 1e3, 2)
+            out[tag] = round(
+                timed_scan(fn, (x,), n_rep=3, consts=(state, batch)) * 1e3,
+                2)
         except Exception as e:
             out[tag] = f"FAILED: {type(e).__name__}: {e}"[:120]
     return out
