@@ -197,15 +197,17 @@ def bench_train_variants():
 
     cfg = GWDepthConfig(train_hw=(704, 1024), batch_size=1)
     cfg_noline = dataclasses.replace(cfg, with_line=False)
+    cfg_pallas = dataclasses.replace(cfg, use_pallas=True)
     model = GlassRGBD(cfg)
+    model_pallas = GlassRGBD(cfg_pallas)
     batch = dummy_batch(cfg, batch_size=1)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, batch.images)["params"]
     state = create_train_state(cfg, params, steps_per_epoch=1000)
 
-    def loss_fn(p, bt, images, c):
-        outputs = model.apply({"params": p}, images, bt.valid,
-                              deterministic=False, rngs={"dropout": rng})
+    def loss_fn(p, bt, images, c, m=model):
+        outputs = m.apply({"params": p}, images, bt.valid,
+                          deterministic=False, rngs={"dropout": rng})
         total, _ = compute_losses(c, outputs, bt.replace(images=images))
         return total
 
@@ -214,11 +216,34 @@ def bench_train_variants():
         grads = jax.grad(loss_fn)(st.params, bt, images, cfg)
         return (st.apply_gradients(grads).params,)
 
+    def full_pallas(consts, images):
+        # same params, fused-kernel fwd + analytic custom-VJP bwd
+        st, bt = consts
+        grads = jax.grad(
+            lambda p: loss_fn(p, bt, images, cfg_pallas, m=model_pallas)
+        )(st.params)
+        return (st.apply_gradients(grads).params,)
+
     def grad_only(c):
         def fn(consts, images):
             st, bt = consts
             return (jax.grad(loss_fn)(st.params, bt, images, c),)
         return fn
+
+    def loss_fn_det(p, bt, images, c):
+        # deterministic forward: prices dropout (threefry bit-gen + masks)
+        outputs = model.apply({"params": p}, images, bt.valid,
+                              deterministic=True)
+        total, _ = compute_losses(c, outputs, bt.replace(images=images))
+        return total
+
+    def grad_det(consts, images):
+        st, bt = consts
+        return (jax.grad(loss_fn_det)(st.params, bt, images, cfg),)
+
+    def loss_det(consts, images):
+        st, bt = consts
+        return (loss_fn_det(st.params, bt, images, cfg),)
 
     def loss_only(c):
         def fn(consts, images):
@@ -229,13 +254,21 @@ def bench_train_variants():
     x = jax.random.normal(jax.random.PRNGKey(_seed()),
                           batch.images.shape)
     out = {}
-    for tag, fn in {
-            "full_step": full,
-            "grad": grad_only(cfg),
-            "grad_noline": grad_only(cfg_noline),
-            "loss_fwd": loss_only(cfg),
-            "loss_fwd_noline": loss_only(cfg_noline),
-    }.items():
+    names = os.environ.get(
+        "TRAIN_VARIANTS",
+        "full_step,full_step_pallas,grad,grad_noline,loss_fwd,"
+        "loss_fwd_noline,grad_det,loss_fwd_det")
+    all_fns = {
+        "full_step": full,
+        "full_step_pallas": full_pallas,
+        "grad": grad_only(cfg),
+        "grad_noline": grad_only(cfg_noline),
+        "loss_fwd": loss_only(cfg),
+        "loss_fwd_noline": loss_only(cfg_noline),
+        "grad_det": grad_det,
+        "loss_fwd_det": loss_det,
+    }
+    for tag, fn in {k: all_fns[k] for k in names.split(",")}.items():
         try:
             out[tag] = round(
                 timed_scan(fn, (x,), n_rep=3, consts=(state, batch)) * 1e3,
