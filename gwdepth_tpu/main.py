@@ -33,13 +33,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("GW-Depth TPU training", add_help=True)
     cfg = GWDepthConfig()
     # optimizer / schedule (reference: src/args.py:6-21)
-    for name in ("lr", "lr_backbone", "weight_decay"):
+    # losses / matcher costs / eval clamps are live reference flags too
+    # (reference: src/args.py:15-20,63-81,96-100; consumed at
+    # glassrgbd.py:547-565, engine_glassrgbd.py:90-135,249-253)
+    for name in ("lr", "lr_backbone", "weight_decay", "dropout", "eos_coef",
+                 "variance_focus", "set_cost_class", "set_cost_line",
+                 "line_loss_coef", "seg_loss_weight", "plane_norm_loss_coef",
+                 "min_depth_eval", "max_depth_eval"):
         p.add_argument(f"--{name}", type=float, default=getattr(cfg, name))
     for name in ("batch_size", "grad_accum", "epochs", "lr_drop", "seed",
                  "num_queries", "enc_layers", "dec_layers", "hidden_dim",
                  "nheads", "dim_feedforward", "layer1_num", "num_ref",
-                 "max_lines", "class_init_size"):
+                 "max_lines", "class_init_size", "dense_trans_dim",
+                 "dense_trans_heads", "class_token_dim"):
         p.add_argument(f"--{name}", type=int, default=getattr(cfg, name))
+    p.add_argument("--pre_norm", action="store_true")
     p.add_argument("--clip_max_norm", type=float, default=cfg.clip_max_norm)
     p.add_argument("--backbone", type=str, default=cfg.backbone)
     p.add_argument("--position_embedding", type=str, default="sine",
@@ -88,72 +96,55 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
-    if args.tiny:
-        from gwdepth_tpu.config import tiny_test_config
-        return tiny_test_config(
-            with_line=args.with_line or True, with_dense=True,
-            position_embedding=args.position_embedding,
-            with_reflection=args.with_reflection,
-            with_dense_center=args.with_dense_center,
-            with_line_depth=args.with_line_depth,
-            with_plane_norm_loss=args.with_plane_norm_loss,
-            batch_size=args.batch_size, grad_accum=args.grad_accum,
-            epochs=args.epochs,
-            data_path=args.data_path, gt_depth_path=args.gt_depth_path,
-            gt_seg_path=args.gt_seg_path, gt_line_path=args.gt_line_path,
-            filenames_file_train=args.filenames_file_train,
-            filenames_file_eval=args.filenames_file_eval,
-            glassrgbd_images_json=args.glassrgbd_images_json,
-            output_dir=args.output_dir,
-            train_hw=(args.train_h, args.train_w),
-            eval_hw=(args.eval_h, args.eval_w),
-            label_loss_func=args.label_loss_func,
-            focal_gamma=args.focal_gamma,
-            class_tokenfuse_layers=tuple(
-                bool(int(v)) for v in args.class_tokenfuse_layers.split(",")),
-            matcher=args.matcher, use_pallas=args.use_pallas,
-            remat=args.remat,
-            mesh_shape=tuple(int(v) for v in args.mesh.split(",")),
-            mesh_axes=("data", "model")[:len(args.mesh.split(","))])
-    return GWDepthConfig(
-        lr=args.lr, lr_backbone=args.lr_backbone,
-        weight_decay=args.weight_decay, batch_size=args.batch_size,
-        grad_accum=args.grad_accum,
-        epochs=args.epochs, lr_drop=args.lr_drop, seed=args.seed,
-        clip_max_norm=args.clip_max_norm, backbone=args.backbone,
-        position_embedding=args.position_embedding,
-        num_queries=args.num_queries, enc_layers=args.enc_layers,
-        dec_layers=args.dec_layers, hidden_dim=args.hidden_dim,
-        nheads=args.nheads, dim_feedforward=args.dim_feedforward,
-        layer1_num=args.layer1_num, num_ref=args.num_ref,
-        max_lines=args.max_lines, max_depth=args.max_depth,
-        class_init_size=args.class_init_size,
-        with_line=args.with_line, with_dense=args.with_dense,
-        with_center=args.with_center,
-        with_plane_norm_loss=args.with_plane_norm_loss,
-        with_reflection=args.with_reflection,
-        with_dense_center=args.with_dense_center,
-        with_line_depth=args.with_line_depth,
-        label_loss_func=args.label_loss_func,
-        focal_gamma=args.focal_gamma,
+# CLI dests that map 1:1 onto GWDepthConfig fields (everything except the
+# derived ones assembled in _config_kwargs and the runtime-only flags)
+_CFG_PASSTHROUGH = (
+    "lr", "lr_backbone", "weight_decay", "dropout", "eos_coef",
+    "variance_focus", "set_cost_class", "set_cost_line", "line_loss_coef",
+    "seg_loss_weight", "plane_norm_loss_coef", "min_depth_eval",
+    "max_depth_eval", "batch_size", "grad_accum", "epochs", "lr_drop",
+    "seed", "clip_max_norm", "backbone", "position_embedding", "pre_norm",
+    "num_queries", "enc_layers", "dec_layers", "hidden_dim", "nheads",
+    "dim_feedforward", "layer1_num", "num_ref", "max_lines", "max_depth",
+    "class_init_size", "dense_trans_dim", "dense_trans_heads",
+    "class_token_dim", "with_line", "with_dense", "with_center",
+    "with_plane_norm_loss", "with_reflection", "with_dense_center",
+    "with_line_depth", "label_loss_func", "focal_gamma", "matcher",
+    "use_pallas", "remat", "data_path", "gt_depth_path", "gt_seg_path",
+    "gt_line_path", "filenames_file_train", "filenames_file_eval",
+    "glassrgbd_images_json", "output_dir",
+)
+
+
+def _config_kwargs(args: argparse.Namespace) -> dict:
+    kw = {name: getattr(args, name) for name in _CFG_PASSTHROUGH}
+    kw.update(
         class_tokenfuse_layers=tuple(
             bool(int(v)) for v in args.class_tokenfuse_layers.split(",")),
         aux_loss=not args.aux_loss_off,
         log_depth_error=True,
         dtype="bfloat16" if args.bf16 else "float32",
-        data_path=args.data_path, gt_depth_path=args.gt_depth_path,
-        gt_seg_path=args.gt_seg_path, gt_line_path=args.gt_line_path,
-        filenames_file_train=args.filenames_file_train,
-        filenames_file_eval=args.filenames_file_eval,
-        glassrgbd_images_json=args.glassrgbd_images_json,
-        output_dir=args.output_dir,
         train_hw=(args.train_h, args.train_w),
         eval_hw=(args.eval_h, args.eval_w),
-        matcher=args.matcher, use_pallas=args.use_pallas, remat=args.remat,
         mesh_shape=tuple(int(v) for v in args.mesh.split(",")),
         mesh_axes=("data", "model")[:len(args.mesh.split(","))],
     )
+    return kw
+
+
+def config_from_args(args: argparse.Namespace) -> GWDepthConfig:
+    kw = _config_kwargs(args)
+    if args.tiny:
+        # Forward only the values the user actually changed so the toy
+        # dims survive: every flag at its parser default is dropped and
+        # tiny_test_config's base wins (a round-1 advisor finding was the
+        # tiny branch silently ignoring gates; filtering generically
+        # covers every current and future flag).
+        from gwdepth_tpu.config import tiny_test_config
+        defaults = _config_kwargs(build_argparser().parse_args([]))
+        kw = {k: v for k, v in kw.items() if v != defaults[k]}
+        return tiny_test_config(**kw)
+    return GWDepthConfig(**kw)
 
 
 def resolve_checkpoint_path(path_or_url: str) -> str:

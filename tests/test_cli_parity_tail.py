@@ -102,3 +102,34 @@ def test_cli_flag_plumbing_line_depth_and_init_size():
     args = ap.parse_args(base + ["--tiny", "--with_line_depth"])
     cfg = config_from_args(args)
     assert cfg.with_line_depth
+
+
+def test_cli_loss_and_matcher_flags_reach_config():
+    """The reference's live scalar flags (--dropout --eos_coef
+    --variance_focus --set_cost_* --seg_loss_weight --min/max_depth_eval
+    --pre_norm ..., src/args.py:15-20,63-81,96-100) are CLI-settable here
+    too, in both branches; under --tiny, flags left at their parser
+    default never override the toy dims."""
+    from gwdepth_tpu.main import build_argparser, config_from_args
+    ap = build_argparser()
+    base = ["--data_path", "/tmp/x", "--output_dir", "/tmp/y"]
+    flags = ["--dropout", "0.2", "--eos_coef", "0.3",
+             "--variance_focus", "0.9", "--set_cost_class", "2.0",
+             "--set_cost_line", "7.0", "--seg_loss_weight", "3.0",
+             "--min_depth_eval", "0.01", "--max_depth_eval", "8.0",
+             "--pre_norm", "--class_token_dim", "16"]
+
+    cfg = config_from_args(ap.parse_args(base + flags))
+    assert (cfg.dropout, cfg.eos_coef, cfg.variance_focus) == (0.2, 0.3, 0.9)
+    assert (cfg.set_cost_class, cfg.set_cost_line) == (2.0, 7.0)
+    assert (cfg.seg_loss_weight, cfg.min_depth_eval,
+            cfg.max_depth_eval) == (3.0, 0.01, 8.0)
+    assert cfg.pre_norm and cfg.class_token_dim == 16
+
+    tcfg = config_from_args(ap.parse_args(base + ["--tiny"] + flags))
+    assert (tcfg.eos_coef, tcfg.set_cost_line,
+            tcfg.class_token_dim) == (0.3, 7.0, 16)
+    # defaults don't leak into tiny: toy dims + canvas survive
+    tcfg = config_from_args(ap.parse_args(base + ["--tiny"]))
+    assert tcfg.hidden_dim == 32 and tcfg.train_hw == (64, 96)
+    assert tcfg.class_token_dim == 8 and tcfg.dropout == 0.0
