@@ -149,6 +149,43 @@ def bench_eval_fwd(use_pallas: bool):
     return round((time.perf_counter() - t0) / n * 1e3, 2)
 
 
+def bench_eval_batch():
+    """Sustained eval-forward throughput vs batch size on one chip.
+
+    Batch 1 is the reference eval protocol (bs=1, engine_glassrgbd.py:174)
+    and bench.py's headline; this measures how much MXU utilization the
+    batch-1 protocol leaves on the table for real serving (batch the
+    dispatch-bound small ops, amortize per-program tunnel overhead)."""
+    import dataclasses
+
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.models import GlassRGBD
+    cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0, use_pallas=True)
+    model = GlassRGBD(cfg)
+    out = {}
+    for bs in (1, 2, 4):
+        n = max(4, 12 // bs)
+        xs = [jax.random.normal(jax.random.PRNGKey(_seed() + i),
+                                (bs, *cfg.eval_hw, 3)) for i in range(n + 1)]
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), xs[0])
+
+        @jax.jit
+        def fwd(images):
+            o = model.apply(params, images)
+            return o["pred_depth"][-1], o["pred_seg"], o["pred_logits"]
+
+        jax.block_until_ready(fwd(xs[0]))
+        best = 0.0
+        for w in range(3):
+            t0 = time.perf_counter()
+            outs = [fwd(x) for x in xs[1:]]
+            jax.block_until_ready(outs)
+            best = max(best, n * bs / (time.perf_counter() - t0))
+        out[f"bs{bs}"] = round(best, 2)
+        del params, xs
+    return out
+
+
 def bench_fwd_variants():
     """Slope-measured full-forward time under feature-gate ablations:
     the difference vs 'full' prices each component at eval size."""
@@ -293,6 +330,8 @@ def main():
     if "fwd" in what:
         res["eval_fwd_ms"] = {"xla": bench_eval_fwd(False),
                               "pallas": bench_eval_fwd(True)}
+    if "batch" in what:
+        res["eval_batch_img_per_s"] = bench_eval_batch()
     if "variants" in what:
         res["fwd_variants_ms"] = bench_fwd_variants()
     if "train" in what:
