@@ -165,9 +165,12 @@ def bench_train_step(seed: int):
                               rngs[k])
         jax.block_until_ready(state.params)
         float(jax.device_get(log)[0])
-        ips = max(ips, n_iters / (time.perf_counter() - t0))
+        # the recovery decision must look at THIS window, not the running
+        # max — a degraded window after one good one still needs the pause
+        win_ips = n_iters / (time.perf_counter() - t0)
+        ips = max(ips, win_ips)
         if w < n_windows - 1:
-            time.sleep(90.0 if ips < 1.0 else 30.0)
+            time.sleep(90.0 if win_ips < 1.0 else 30.0)
     return ips, (flops * ips / PEAK_FLOPS if flops else None)
 
 

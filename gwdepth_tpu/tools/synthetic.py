@@ -48,7 +48,6 @@ def _quad_mask(quad: np.ndarray, H: int, W: int) -> np.ndarray:
     yy, xx = np.mgrid[0:H, 0:W]
     yy = yy + 0.5
     xx = xx + 0.5
-    sign = 0.0
     inside = np.ones((H, W), bool)
     crosses = []
     for i in range(4):
@@ -81,6 +80,10 @@ def generate_scene(rng: np.random.Generator, H: int, W: int
     depth = (rng.uniform(4.0, 7.5)
              + (yy / H) * rng.uniform(1.0, 2.5)
              + (xx / W) * rng.uniform(-0.8, 0.8))        # meters
+    # keep every valid pixel inside [min_depth, max_depth)=[0,10): pixels
+    # past max_depth are masked out of the SiLog loss (train_step.py) and
+    # excluded at eval, which would leave part of the scene unsupervised
+    np.clip(depth, None, 9.5, out=depth)
 
     seg = np.zeros((H, W), np.uint8)
     shapes = []

@@ -19,8 +19,12 @@ import sys
 import time
 
 # `python tools/bench_ablation.py` puts tools/ (not the repo root) on
-# sys.path; the axon plugin needs cwd == repo root anyway, so pin both.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# sys.path; the axon plugin registers ONLY when cwd == the repo root
+# (CLAUDE.md) — without the chdir a non-root cwd would silently
+# benchmark on CPU in the same JSON shape.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.chdir(_ROOT)
 
 import jax
 import jax.numpy as jnp
@@ -156,17 +160,20 @@ def bench_eval_batch():
     and bench.py's headline; this measures how much MXU utilization the
     batch-1 protocol leaves on the table for real serving (batch the
     dispatch-bound small ops, amortize per-program tunnel overhead)."""
-    import dataclasses
-
     from gwdepth_tpu.config import GWDepthConfig
     from gwdepth_tpu.models import GlassRGBD
     cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0, use_pallas=True)
     model = GlassRGBD(cfg)
     out = {}
+    n_windows = 3
     for bs in (1, 2, 4):
         n = max(4, 12 // bs)
+        # entropy-fresh inputs for EVERY window: the tunnel memoizes
+        # identical (program, input) executions, so reusing one xs list
+        # across windows would let max() pick a cache-lookup window
         xs = [jax.random.normal(jax.random.PRNGKey(_seed() + i),
-                                (bs, *cfg.eval_hw, 3)) for i in range(n + 1)]
+                                (bs, *cfg.eval_hw, 3))
+              for i in range(n_windows * n + 1)]
         params = jax.jit(model.init)(jax.random.PRNGKey(0), xs[0])
 
         @jax.jit
@@ -176,9 +183,9 @@ def bench_eval_batch():
 
         jax.block_until_ready(fwd(xs[0]))
         best = 0.0
-        for w in range(3):
+        for w in range(n_windows):
             t0 = time.perf_counter()
-            outs = [fwd(x) for x in xs[1:]]
+            outs = [fwd(x) for x in xs[1 + w * n:1 + (w + 1) * n]]
             jax.block_until_ready(outs)
             best = max(best, n * bs / (time.perf_counter() - t0))
         out[f"bs{bs}"] = round(best, 2)
@@ -305,7 +312,15 @@ def bench_train_variants():
         "grad_det": grad_det,
         "loss_fwd_det": loss_det,
     }
-    for tag, fn in {k: all_fns[k] for k in names.split(",")}.items():
+    chosen = {}
+    for k in (s.strip() for s in names.split(",")):
+        if k in all_fns:
+            chosen[k] = all_fns[k]
+        else:
+            # report, don't raise: a typo must not discard the variants
+            # that would have succeeded after minutes of setup
+            out[k] = f"FAILED: unknown variant (of {sorted(all_fns)})"
+    for tag, fn in chosen.items():
         try:
             out[tag] = round(
                 timed_scan(fn, (x,), n_rep=3, consts=(state, batch)) * 1e3,
