@@ -37,14 +37,23 @@ def _build() -> bool:
     if os.path.exists(_SO) and \
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True
+    # pid-unique scratch: two processes racing the build must not write
+    # through one shared tmp path (A's os.replace would publish a file B's
+    # still-running g++ keeps writing into — a corrupt .so with a fresh
+    # mtime that every later process silently fails to load)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO + ".tmp", _SRC,
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC,
              "-lpng", "-lz"],
             check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -169,6 +178,10 @@ def normalize_pad(img: np.ndarray, canvas_hw: Tuple[int, int],
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
     img = np.ascontiguousarray(img)
     ch, cw = canvas_hw
+    if img.shape[0] > ch or img.shape[1] > cw:
+        # the C side would write past the canvas buffer (it also rejects
+        # this, but never hand it an out-of-bounds job in the first place)
+        raise ValueError(f"image {img.shape[:2]} exceeds canvas {canvas_hw}")
     out = np.empty((ch, cw, 3), np.float32)
     m = np.ascontiguousarray(mean, np.float32)
     s = np.ascontiguousarray(std, np.float32)

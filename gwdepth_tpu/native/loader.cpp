@@ -448,9 +448,11 @@ int gw_resize_bilinear_rgb8(const unsigned char* src, int h, int w,
 
 // Fused normalize + zero-pad onto a (ch, cw, 3) float32 canvas:
 // out[:h,:w] = (img/255 - mean)/std  (float32 op order matching numpy),
-// the rest zeroed.  Returns 0.
+// the rest zeroed.  Returns 0; nonzero if the image exceeds the canvas
+// (writing w > cw rows would run past the output buffer).
 int gw_normalize_pad(const unsigned char* img, int h, int w, float* out,
                      int ch, int cw, const float* mean, const float* std_) {
+    if (h > ch || w > cw) return 1;
     for (int y = 0; y < ch; ++y) {
         float* row = out + static_cast<long>(y) * cw * 3;
         if (y >= h) {

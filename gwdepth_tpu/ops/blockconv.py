@@ -62,6 +62,9 @@ def _axis_map(s_out: int, u: int) -> np.ndarray:
     k in {0,1,2} (offset k-1), input block offset q in {0,1,2} (offset
     q-1), input sub-pixel r (of si = s_out//u). u = output_res/input_res
     (1 for same-res conv, 2 for nearest-x2-upsample-then-conv)."""
+    # the derivation assumes s_out = u * si exactly; truncating would
+    # build a plausibly-shaped but mathematically wrong kernel
+    assert s_out % u == 0, (s_out, u)
     si = s_out // u
     A = np.zeros((s_out, 3, 3, si), np.float32)
     for p in range(s_out):

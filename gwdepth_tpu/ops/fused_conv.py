@@ -51,21 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf(z):
-    """A&S 7.1.26 rational erf (|err| <= 1.5e-7); Mosaic lacks erf."""
-    az = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * az)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-
-
-def _gelu(x):
-    return x * 0.5 * (1.0 + _erf(x * (2.0 ** -0.5)))
-
-
-def _elu(x):
-    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+from gwdepth_tpu.ops.mosaic_math import elu as _elu
+from gwdepth_tpu.ops.mosaic_math import gelu as _gelu
 
 
 def _make_kernel(n_k: int, Wp: int, n_s: int, CH: int, has_ln: bool,
@@ -202,6 +189,14 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     # reduces over ALL channels, so it cannot split.
     if Co * Sp * 4 > 40 * 1024 * 1024:
         co_b = max(128, (40 * 1024 * 1024 // (Sp * 4)) // 128 * 128)
+        if co_b >= Co:
+            # even a single kernel-sized Co piece exceeds the VMEM budget
+            # (Sp too large) — splitting cannot shrink it, and recursing
+            # with identical arguments would never terminate.  This
+            # spatial size is outside the kernel's envelope; run XLA.
+            y = conv3x3_ln_act_reference(x, w, ln_scale, ln_bias,
+                                         residual=residual, act=act)
+            return y.astype(out_dtype or x.dtype)
         pieces = [
             conv3x3_ln_act(x, w[..., c0:min(c0 + co_b, Co)],
                            act=None, fast=fast, k_chunk=k_chunk,
@@ -319,18 +314,24 @@ def _fused_bwd(act, res, ct):
     f32 = jnp.float32
     c = conv3x3_ln_act(x, w, act=None, fast=True, interpret=interp,
                        out_dtype=f32)                      # (B,H,W,Co) f32
-    mu = jnp.mean(c, axis=-1, keepdims=True)
-    d0 = c - mu
-    inv = jax.lax.rsqrt(jnp.mean(d0 * d0, axis=-1, keepdims=True) + 1e-5)
-    xhat = d0 * inv
-    n = xhat * g.astype(f32) + b.astype(f32)
+    if g is None:
+        # no LayerNorm in the forward — the pre-activation is the conv
+        dn = ct.astype(f32) * _act_grad_at(act, c)
+        dg = db = None
+        dc = dn
+    else:
+        mu = jnp.mean(c, axis=-1, keepdims=True)
+        d0 = c - mu
+        inv = jax.lax.rsqrt(jnp.mean(d0 * d0, axis=-1, keepdims=True) + 1e-5)
+        xhat = d0 * inv
+        n = xhat * g.astype(f32) + b.astype(f32)
 
-    dn = ct.astype(f32) * _act_grad_at(act, n)
-    dg = jnp.sum(dn * xhat, axis=(0, 1, 2)).astype(g.dtype)
-    db = jnp.sum(dn, axis=(0, 1, 2)).astype(b.dtype)
-    dxh = dn * g.astype(f32)
-    dc = inv * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
-                - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True))
+        dn = ct.astype(f32) * _act_grad_at(act, n)
+        dg = jnp.sum(dn * xhat, axis=(0, 1, 2)).astype(g.dtype)
+        db = jnp.sum(dn, axis=(0, 1, 2)).astype(b.dtype)
+        dxh = dn * g.astype(f32)
+        dc = inv * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+                    - xhat * jnp.mean(dxh * xhat, axis=-1, keepdims=True))
 
     # dx: conv with the rotated, io-transposed kernel
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))    # (3,3,Co,Ci)

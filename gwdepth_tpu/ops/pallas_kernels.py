@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gwdepth_tpu.ops import mosaic_math
+
 
 def _make_kernel(P: int, RH: int):
     """dx shifts folded into the block-diagonal weights (off-diagonal
@@ -63,13 +65,7 @@ def _make_kernel(P: int, RH: int):
             d = upd - mean
             var = mm(mm(ones_p, d * d) / P, T)
             u = d * jax.lax.rsqrt(var + 1e-5)
-            z = u * (2.0 ** -0.5)
-            az = jnp.abs(z)
-            t = 1.0 / (1.0 + 0.3275911 * az)
-            poly = t * (0.254829592 + t * (-0.284496736 + t * (
-                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-            erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-            return xc + u * 0.5 * (1.0 + erf)
+            return xc + mosaic_math.gelu(u)
 
         out_ref[0] = jax.lax.fori_loop(0, 3, body, x)
 
