@@ -7,13 +7,28 @@ depth/seg branch forward; plus the full 704x1024 train step (forward +
 Hungarian criterion + backward + grouped AdamW), the reference's training
 shape (src/datasets/transforms_depth.py crop sizes).
 
-Prints TWO JSON lines; the LAST is the headline the driver records:
-  {"metric": "train_step_images_per_sec_704x1024", ...}
+Prints JSON lines, each flushed the moment its measurement finishes:
   {"metric": "eval_forward_images_per_sec_768x1024", ..., "vs_baseline": N}
+  {"metric": "train_step_images_per_sec_704x1024", ...}
+  (eval headline line repeated)
+
+Ordering is deliberate: the eval forward completes in minutes even on a
+degraded tunnel, while the train step needs a long compile plus recovery
+sleeps — running eval FIRST guarantees the driver window always captures
+at least the headline-class number (round-2 ran train first and timed out
+with ZERO lines, BENCH_r02.json null).  The driver parses the LAST JSON
+line as the headline, so after the train line the eval headline is
+re-emitted verbatim; if the train phase dies, the already-flushed eval
+line is the last one standing either way.
 
 `vs_baseline` compares against the ACTUAL reference PyTorch model running
 the same eval forward on the host CPU (bench_baseline.py measurement —
 the reference repo records no throughput numbers, BASELINE.md).
+
+`value` is the best sustained window (the tunnel drifts through fast/slow
+states; the best window is the code's throughput, the slow ones are the
+tunnel's); `median` is the median window so drift can never silently
+inflate the headline.
 
 `mfu` = XLA cost_analysis flops / measured time / chip peak.  Peak is
 v5e bf16 (197 TFLOP/s): the tunnel's XLA executes f32 matmuls as bf16
@@ -25,8 +40,11 @@ denominator.  The train step's Hungarian solve runs data-dependent
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import statistics
+import sys
 import time
 
 import jax
@@ -41,16 +59,116 @@ CPU_BASELINE_IMAGES_PER_SEC = 0.0701
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak
 
 # XLA cost_analysis flops of the batch-1 768x1024 eval forward (pure-XLA
-# path, measured 2026-08-17). Pinned because the timed path uses Pallas
-# custom-calls whose flops cost_analysis cannot see — both paths compute
-# identical convolutions, and an extra full-model tunnel compile just for
-# accounting costs minutes of bench budget. Re-measure if the
-# architecture changes: see /tmp recipe in the git history (flops =
-# fwd.lower(x).compile().cost_analysis()["flops"] with use_pallas=False).
-# Cross-check 2026-08-18: the CPU backend reports 1.643e12 for the same
-# graph (different fusion/accounting); the TPU-backend figure below is
-# the honest MFU denominator for TPU timings.
-EVAL_FWD_FLOPS = 1.241e12
+# path, use_pallas=False — the Pallas custom-calls hide their flops from
+# cost_analysis, and both paths compute identical convolutions).  The
+# TPU-backend figure is the honest MFU denominator for TPU timings; the
+# CPU-backend figure for the SAME graph (different fusion/accounting) is
+# pinned alongside so staleness can be detected without a TPU compile.
+# BOTH constants are gated on EVAL_ARCH_HASH below: if the architecture
+# the bench builds no longer matches the one these were measured on,
+# bench.py recomputes the CPU figure fresh in a subprocess, reports it,
+# and REFUSES to emit an MFU from the stale TPU pin (VERDICT r2 weak #4:
+# a silently stale denominator is worse than none).
+EVAL_FWD_FLOPS_TPU = 1.241e12  # measured 2026-08-17, TPU backend
+EVAL_FWD_FLOPS_CPU = 1.643e12  # measured 2026-08-18, CPU backend, same graph
+
+# sha256 over the architecture-determining config fields of the exact
+# cfg bench_eval_fwd constructs (see _arch_fingerprint).  Recorded
+# 2026-08-20; recompute via `python bench.py --arch-hash` after any
+# deliberate architecture change, together with fresh flops pins.
+EVAL_ARCH_HASH = "70c264088a07fc0d"
+
+
+def _arch_fingerprint(cfg) -> str:
+    """Stable string of every config field that changes the eval-forward
+    graph's flops. Paths/optimizer fields excluded; anything that alters
+    topology, shapes, or gated modules is in."""
+    fields = (
+        "backbone", "position_embedding", "layer1_num", "enc_layers",
+        "dec_layers", "dim_feedforward", "hidden_dim", "nheads",
+        "num_queries", "pre_norm", "with_line", "with_dense", "with_center",
+        "with_reflection", "with_dense_center", "with_line_depth",
+        "dense_trans_dim", "dense_trans_layers", "dense_trans_heads",
+        "class_trans_layers", "group_attention_layers", "depth_interval",
+        "depth_sample_layers", "interval_sample_num",
+        "class_tokenfuse_layers", "class_token_dim", "class_init_size",
+        "num_ref", "window_size", "mlp_ratio", "eval_hw", "max_lines",
+        "dtype", "param_dtype", "decoder_blockconv",
+    )
+    return "|".join(f"{f}={getattr(cfg, f)!r}" for f in fields)
+
+
+def _arch_hash(cfg) -> str:
+    return hashlib.sha256(_arch_fingerprint(cfg).encode()).hexdigest()[:16]
+
+
+def _eval_cfg(check_backend: bool = True):
+    import dataclasses
+
+    from gwdepth_tpu.config import GWDepthConfig
+
+    cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
+    if check_backend and jax.default_backend() == "tpu":
+        # serving path: fused Pallas inference kernels (same math; the
+        # predict CLI enables them the same way — use_pallas is NOT part
+        # of the arch fingerprint: both paths compute identical convs)
+        cfg = dataclasses.replace(cfg, use_pallas=True)
+    return cfg
+
+
+def _fresh_cpu_flops() -> float | None:
+    """cost_analysis flops of the eval forward on the CPU backend, computed
+    in a subprocess so the TPU-plugin process stays untouched."""
+    import subprocess
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp, dataclasses\n"
+        "from gwdepth_tpu.config import GWDepthConfig\n"
+        "from gwdepth_tpu.models import GlassRGBD\n"
+        "cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)\n"
+        "model = GlassRGBD(cfg)\n"
+        "x = jnp.zeros((1, *cfg.eval_hw, 3), jnp.float32)\n"
+        "params = jax.jit(model.init)(jax.random.PRNGKey(0), x)\n"
+        "def fwd(images):\n"
+        "    out = model.apply(params, images)\n"
+        "    return out['pred_depth'][-1], out['pred_seg'], out['pred_logits']\n"
+        "ca = jax.jit(fwd).lower(x).compile().cost_analysis()\n"
+        "if isinstance(ca, (list, tuple)): ca = ca[0]\n"
+        "print('FLOPS', float(ca['flops']))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=900, capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        for line in r.stdout.splitlines():
+            if line.startswith("FLOPS "):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
+
+
+def resolve_eval_flops() -> tuple[float | None, dict]:
+    """(flops_for_mfu_or_None, extra JSON fields).  Uses the TPU pin only
+    when the architecture hash matches; otherwise recomputes the CPU
+    figure, reports it, and refuses the stale pin (mfu comes out None)."""
+    cfg = _eval_cfg()
+    h = _arch_hash(cfg)
+    if h == EVAL_ARCH_HASH:
+        return EVAL_FWD_FLOPS_TPU, {}
+    print(f"bench.py: EVAL ARCH HASH MISMATCH (pinned {EVAL_ARCH_HASH}, "
+          f"current {h}) — the pinned MFU denominator is STALE. "
+          "Recomputing CPU-backend flops fresh; re-pin EVAL_FWD_FLOPS_* "
+          "and EVAL_ARCH_HASH (python bench.py --arch-hash).",
+          file=sys.stderr, flush=True)
+    fresh = _fresh_cpu_flops()
+    extra = {"mfu_stale_pin": True, "arch_hash": h,
+             "eval_fwd_flops_cpu_fresh": fresh}
+    return None, extra
 
 
 def _flops(compiled) -> float:
@@ -63,17 +181,10 @@ def _flops(compiled) -> float:
         return 0.0
 
 
-def bench_eval_fwd(seed: int):
-    import dataclasses
-
-    from gwdepth_tpu.config import GWDepthConfig
+def bench_eval_fwd(seed: int, flops: float | None):
     from gwdepth_tpu.models import GlassRGBD
 
-    cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
-    if jax.default_backend() == "tpu":
-        # serving path: fused Pallas inference kernels (same math; the
-        # predict CLI enables them the same way)
-        cfg = dataclasses.replace(cfg, use_pallas=True)
+    cfg = _eval_cfg()
     model = GlassRGBD(cfg)
     # ENTROPY-fresh inputs, one per timed iteration: the remote-TPU tunnel
     # memoizes identical (program, input) executions ACROSS PROCESSES, so
@@ -92,29 +203,24 @@ def bench_eval_fwd(seed: int):
         out = model.apply(params, images)
         return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"]
 
-    flops = EVAL_FWD_FLOPS
     # warmup / compile
     jax.block_until_ready(fwd(inputs[0]))
     jax.block_until_ready(fwd(inputs[1]))
-    # best of 3 sustained windows: the tunnel drifts through fast/slow
-    # states over minutes (CLAUDE.md "wedge" notes — a mid-state tunnel
-    # once read 22.5 img/s for 27 img/s code); the best window is the
-    # code's throughput, the slow ones are the tunnel's
-    ips = 0.0
+    wins = []
     for w in range(n_windows):
         t0 = time.perf_counter()
         outs = [fwd(inputs[2 + w * n_iters + i]) for i in range(n_iters)]
         jax.block_until_ready(outs)
-        ips = max(ips, n_iters / (time.perf_counter() - t0))
-    return ips, (flops * ips / PEAK_FLOPS if flops else None)
+        wins.append(n_iters / (time.perf_counter() - t0))
+    ips, med = max(wins), statistics.median(wins)
+    return ips, med, (flops * ips / PEAK_FLOPS if flops else None)
 
 
 def bench_train_step(seed: int):
     from gwdepth_tpu.config import GWDepthConfig
     from gwdepth_tpu.data.batch import dummy_batch
     from gwdepth_tpu.models import GlassRGBD
-    from gwdepth_tpu.parallel import (create_train_state, make_train_step,
-                                      place_replicated)
+    from gwdepth_tpu.parallel import create_train_state, make_train_step
 
     cfg = GWDepthConfig(train_hw=(704, 1024), batch_size=1)
     model = GlassRGBD(cfg)
@@ -124,7 +230,7 @@ def bench_train_step(seed: int):
     state = create_train_state(cfg, params, steps_per_epoch=1000)
     step = make_train_step(cfg, model)
 
-    n_windows, n_iters = 4, 8
+    n_windows, n_iters = 3, 8
     total = n_windows * n_iters
     # entropy-fresh images per step (same anti-memoization rule as above)
     images = [jax.random.normal(jax.random.PRNGKey(seed + 7919 * i),
@@ -144,9 +250,10 @@ def bench_train_step(seed: int):
     jax.block_until_ready(state.params)
     # The train-step compile leaves the tunnel in a degraded transient
     # that decays over minutes (measured 7.6 s/step right after compile).
-    # Let it decay before the first window, and again between windows.
-    time.sleep(75.0)
-    # Best of 4 windows, each CLOSED BY A REAL device_get of the log:
+    # 45 s is the compromise between letting it decay and fitting the
+    # driver window (r2's 75+90 s sleeps helped time the round out).
+    time.sleep(45.0)
+    # Windows, each CLOSED BY A REAL device_get of the log:
     # block_until_ready on the DONATED state can return before the tunnel
     # executes (it once reported a physically impossible 11.4 ms/step,
     # MFU>2; later 42-50 ms/step readings blocked the same way and are
@@ -155,8 +262,8 @@ def bench_train_step(seed: int):
     # per window, amortized over 8 steps) guarantees the work happened
     # inside the timed region; two independent windowed runs with the pull
     # agree at ~150 ms/step, which is the honest sustained number.
-    # A clearly degraded window triggers a 90 s recovery pause.
-    ips = 0.0
+    # A clearly degraded window triggers a 60 s recovery pause.
+    wins = []
     for w in range(n_windows):
         t0 = time.perf_counter()
         for i in range(n_iters):
@@ -168,13 +275,14 @@ def bench_train_step(seed: int):
         # the recovery decision must look at THIS window, not the running
         # max — a degraded window after one good one still needs the pause
         win_ips = n_iters / (time.perf_counter() - t0)
-        ips = max(ips, win_ips)
+        wins.append(win_ips)
         if w < n_windows - 1:
-            time.sleep(90.0 if win_ips < 1.0 else 30.0)
-    return ips, (flops * ips / PEAK_FLOPS if flops else None)
+            time.sleep(60.0 if win_ips < 1.0 else 20.0)
+    ips, med = max(wins), statistics.median(wins)
+    return ips, med, (flops * ips / PEAK_FLOPS if flops else None)
 
 
-def _probe_tunnel(timeout_s: float = 150.0) -> bool:
+def _probe_tunnel(timeout_s: float = 120.0) -> bool:
     """True if a trivial TPU matmul completes in a fresh subprocess.
 
     The axon tunnel can WEDGE so hard that even `x @ x` hangs (CLAUDE.md);
@@ -184,7 +292,6 @@ def _probe_tunnel(timeout_s: float = 150.0) -> bool:
     probe cleanly and retry, instead of wedging the benchmark process
     itself."""
     import subprocess
-    import sys
 
     code = (
         "import jax, jax.numpy as jnp\n"
@@ -200,12 +307,11 @@ def _probe_tunnel(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def _wait_for_tunnel(budget_minutes: float = 35.0) -> bool:
-    """Probe until the tunnel answers or the budget runs out.  Keeps a
-    transient wedge from costing the round its headline number while
-    still aborting (via the caller) if the outage outlasts the budget."""
-    import sys
-
+def _wait_for_tunnel(budget_minutes: float = 10.0) -> bool:
+    """Probe until the tunnel answers or the budget runs out.  The budget
+    is deliberately SHORT (r2's 35-min budget consumed the entire driver
+    window before a single JSON line): better to abort early and leave a
+    clear non-result than to time out silently."""
     deadline = time.monotonic() + budget_minutes * 60.0
     attempt = 0
     while True:
@@ -218,22 +324,22 @@ def _wait_for_tunnel(budget_minutes: float = 35.0) -> bool:
         if time.monotonic() > deadline:
             return False
         print(f"bench.py: tunnel probe {attempt} hung — wedged? "
-              "waiting 5 min before retry", file=sys.stderr, flush=True)
-        time.sleep(300.0)
+              "waiting 60 s before retry", file=sys.stderr, flush=True)
+        time.sleep(60.0)
 
 
-def _watchdog(minutes: float = 30.0):
+def _watchdog(minutes: float, label: str):
     """The axon tunnel can WEDGE so hard that even device warmup blocks
-    forever (CLAUDE.md).  If the benchmark hasn't finished within the
-    budget, exit non-zero WITHOUT printing a JSON line — a hang would eat
-    the driver's whole round, and a fabricated number would be recorded."""
+    forever (CLAUDE.md).  If the phase hasn't finished within the budget,
+    exit non-zero — any JSON lines ALREADY printed stay captured (each is
+    flushed immediately), so a train-phase hang can no longer erase the
+    eval headline the way round 2's single end-of-run watchdog did."""
     import threading
 
     def fire():
-        import sys
-        print(f"bench.py watchdog: no result after {minutes} min — "
-              "tunnel wedged? aborting without a JSON line", file=sys.stderr,
-              flush=True)
+        print(f"bench.py watchdog [{label}]: no result after {minutes} min "
+              "— tunnel wedged? aborting (earlier JSON lines stand)",
+              file=sys.stderr, flush=True)
         os._exit(3)
 
     t = threading.Timer(minutes * 60.0, fire)
@@ -243,32 +349,46 @@ def _watchdog(minutes: float = 30.0):
 
 
 def main():
+    if "--arch-hash" in sys.argv:
+        print(_arch_hash(_eval_cfg(check_backend=False)))
+        return
     seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
     if not _wait_for_tunnel():
-        import sys
         print("bench.py: tunnel never answered within the probe budget — "
               "aborting without a JSON line", file=sys.stderr, flush=True)
         raise SystemExit(3)
-    watchdog = _watchdog()
 
-    tr_ips, tr_mfu = bench_train_step(seed)
+    eval_flops, extra = resolve_eval_flops()
+
+    # EVAL FIRST: completes in minutes even on a mid tunnel; its JSON line
+    # is flushed before the slow train phase starts.
+    wd = _watchdog(10.0, "eval")
+    ips, ips_med, mfu = bench_eval_fwd(seed, eval_flops)
+    wd.cancel()
+    headline = json.dumps({
+        "metric": "eval_forward_images_per_sec_768x1024",
+        "value": round(ips, 3),
+        "median": round(ips_med, 3),
+        "unit": "images/sec",
+        "mfu": round(mfu, 4) if mfu else None,
+        "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
+        **extra,
+    })
+    print(headline, flush=True)
+
+    wd = _watchdog(18.0, "train")
+    tr_ips, tr_med, tr_mfu = bench_train_step(seed)
+    wd.cancel()
     print(json.dumps({
         "metric": "train_step_images_per_sec_704x1024",
         "value": round(tr_ips, 3),
+        "median": round(tr_med, 3),
         "unit": "images/sec",
         "ms_per_step": round(1000.0 / tr_ips, 1),
         "mfu": round(tr_mfu, 4) if tr_mfu else None,
     }), flush=True)
-
-    ips, mfu = bench_eval_fwd(seed)
-    print(json.dumps({
-        "metric": "eval_forward_images_per_sec_768x1024",
-        "value": round(ips, 3),
-        "unit": "images/sec",
-        "mfu": round(mfu, 4) if mfu else None,
-        "vs_baseline": round(ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
-    }), flush=True)
-    watchdog.cancel()
+    # the driver parses the LAST JSON line — keep the eval headline there
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

@@ -13,9 +13,11 @@ to compare both).
 from __future__ import annotations
 
 import ctypes
+import glob
 import os
 import subprocess
 import threading
+import time
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -40,7 +42,16 @@ def _build() -> bool:
     # pid-unique scratch: two processes racing the build must not write
     # through one shared tmp path (A's os.replace would publish a file B's
     # still-running g++ keeps writing into — a corrupt .so with a fresh
-    # mtime that every later process silently fails to load)
+    # mtime that every later process silently fails to load).  A SIGKILLed
+    # build skips the except-cleanup and orphans its tmp forever, so sweep
+    # stale siblings first (unlinking an open file is safe on POSIX — a
+    # concurrent builder's g++ keeps its own fd).
+    for stale in glob.glob(f"{_SO}.*.tmp"):
+        try:
+            if time.time() - os.path.getmtime(stale) > 600:
+                os.unlink(stale)
+        except OSError:
+            pass
     tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         subprocess.run(

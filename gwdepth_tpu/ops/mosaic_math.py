@@ -8,7 +8,6 @@ numerically identical — a coefficient/precision fix must hit both.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -176,16 +176,19 @@ def bench_eval_batch():
               for i in range(n_windows * n + 1)]
         params = jax.jit(model.init)(jax.random.PRNGKey(0), xs[0])
 
+        # params is an explicit jit ARG (timed_scan's `consts` convention):
+        # closing over it serializes the weights into the program body and
+        # risks the tunnel's remote-compile HTTP 413 limit (advisor r2)
         @jax.jit
-        def fwd(images):
-            o = model.apply(params, images)
+        def fwd(p, images):
+            o = model.apply(p, images)
             return o["pred_depth"][-1], o["pred_seg"], o["pred_logits"]
 
-        jax.block_until_ready(fwd(xs[0]))
+        jax.block_until_ready(fwd(params, xs[0]))
         best = 0.0
         for w in range(n_windows):
             t0 = time.perf_counter()
-            outs = [fwd(x) for x in xs[1 + w * n:1 + (w + 1) * n]]
+            outs = [fwd(params, x) for x in xs[1 + w * n:1 + (w + 1) * n]]
             jax.block_until_ready(outs)
             best = max(best, n * bs / (time.perf_counter() - t0))
         out[f"bs{bs}"] = round(best, 2)
