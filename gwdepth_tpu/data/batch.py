@@ -36,11 +36,12 @@ class Batch:
         return self.images.shape[0]
 
 
-def dummy_batch(cfg, batch_size: int = 2, num_lines: int = 4) -> Batch:
+def dummy_batch(cfg, batch_size: int = 2, num_lines: int = 4,
+                seed: int = 0) -> Batch:
     """Synthetic batch on the configured train canvas (tests/benches)."""
     import numpy as np
     H, W = cfg.train_hw
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     T = cfg.max_lines
     lines = np.zeros((batch_size, T, cfg.line_dim), np.float32)
     lines[:, :num_lines] = rng.uniform(0.1, 0.9,

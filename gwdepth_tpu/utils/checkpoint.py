@@ -17,10 +17,30 @@ import os
 from typing import Optional
 
 
+def _disable_replica_parallel_on_cpu():
+    """On the CPU backend (virtual multi-device test meshes), orbax's
+    replica-parallel serialization dispatches many concurrent sliced
+    multi-device programs; XLA-CPU's in-process collectives then hit the
+    40 s rendezvous termination timeout on oversubscribed hosts and
+    ABORT the process (observed: CollectivePermuteThunk rendezvous F-log
+    while saving a (data=4, model=2)-sharded state on the 8-device
+    virtual mesh, 1-core box).  Real TPU/multihost keeps the default
+    (replica-parallel write bandwidth is a win there)."""
+    import jax
+    if jax.default_backend() != "cpu":
+        return
+    import orbax.checkpoint as ocp
+    from orbax.checkpoint._src.serialization.jax_array_handlers import (
+        ArrayHandler)
+    ocp.type_handlers.register_type_handler(
+        jax.Array, ArrayHandler(use_replica_parallel=False), override=True)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, save_freq_epochs: int = 25,
                  max_keep: int = 3):
         import orbax.checkpoint as ocp
+        _disable_replica_parallel_on_cpu()
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.save_freq = save_freq_epochs
@@ -66,9 +86,18 @@ class CheckpointManager:
         """Rolling save every call; orbax keeps `max_keep` plus any step we
         mark to preserve (epoch-stamped copies at save_freq boundaries,
         main_glassrgbd.py:216-219)."""
-        payload = self._globalize(
-            {"params": state.params, "opt_state": state.opt_state,
-             "step": state.step})
+        import jax
+        payload = {"params": state.params, "opt_state": state.opt_state,
+                   "step": state.step}
+        # Settle in-flight device programs before orbax starts device->host
+        # transfers: on the virtual CPU mesh the transfers and a still-
+        # executing sharded train step contend for one thread pool and the
+        # step's collectives hit XLA-CPU's 40 s rendezvous termination
+        # (observed abort; see _disable_replica_parallel_on_cpu).  Cost is
+        # nil — serialization needs the values anyway, and the expensive
+        # part (the disk write) still overlaps training via async orbax.
+        jax.block_until_ready(payload)
+        payload = self._globalize(payload)
         metadata = {"epoch": epoch}
         if config is not None:
             metadata["config"] = dataclasses.asdict(config)
