@@ -83,8 +83,18 @@ class DensePrediction(nn.Module):
                        use_bias=False, kernel_init=XAVIER, name=head)(y)
 
     def _tail_block(self, y, branch: str, head: str, out_ch: int):
-        """Same chain on the 1/4 grid: 1/2-res stage as s2d(2), full-res
-        stage as s2d(4). Kernel params are shared with the direct path."""
+        """Same chain in block form: 1/2-res stage as s2d(2) on the 1/4
+        grid, then full-res stage as s2d(2) on the HALF-res grid. Kernel
+        params are shared with the direct path.
+
+        The full-res stage used to run as s2d(4) on the 1/4 grid; a dense
+        s2d(s) block kernel carries s^2 x the pixel conv's MACs (the
+        remapped kernel is mostly structural zeros), so s=4 paid 16x
+        FLOPs where s=2 pays 4x — the r3 device profile showed the two
+        s=4 links at 1.25 ms each running at ~94% MXU utilization, i.e.
+        peak-bound on redundant work. s=2 keeps the 128-lane tile full
+        (4*tC/2 = 128 block channels) at a quarter of the MACs; the extra
+        depth_to_space(2) relayouts cost ~0.1 ms each."""
         tC = self.token_dim
         B, h, w, _ = y.shape
         w_up1 = UpConv(tC, tC, name=f"upconv1_{branch}")(kernel_only=True)
@@ -93,14 +103,15 @@ class DensePrediction(nn.Module):
             y.reshape(B, h, w, 4, tC)).reshape(B, h, w, 4 * tC)
         w_c1 = _Kernel((3, 3, tC, tC), name=f"conv1_{branch}")()
         y = nn.elu(block_conv(y, w_c1, 2, u=1))
+        y = depth_to_space(y, 2)                            # (B,2h,2w,tC)
         w_up2 = UpConv(tC // 2, tC, name=f"upconv2_{branch}")(
             kernel_only=True)
-        y = nn.elu(block_conv(y, w_up2, 4, u=2))            # (B,h,w,8tC)
+        y = nn.elu(block_conv(y, w_up2, 2, u=2))            # (B,2h,2w,2tC)
         w_c2 = _Kernel((3, 3, tC // 2, tC // 2), name=f"conv2_{branch}")()
-        y = nn.elu(block_conv(y, w_c2, 4, u=1))
+        y = nn.elu(block_conv(y, w_c2, 2, u=1))
         w_head = _Kernel((3, 3, tC // 2, out_ch), name=head)()
-        y = block_conv(y, w_head, 4, u=1)                   # (B,h,w,16*out)
-        return depth_to_space(y, 4)
+        y = block_conv(y, w_head, 2, u=1)                   # (B,2h,2w,4*out)
+        return depth_to_space(y, 2)
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, depth_pred4: jnp.ndarray,

@@ -257,7 +257,15 @@ class PyramidLayer(nn.Module):
             b = resize_bilinear_matmul_nhwc(b, (Hp, Wp), align_corners=True)
             branches.append(b)
         xx = jnp.concatenate(branches, axis=-1)
-        x = ConvLn(d2 * 2, fuse=fuse, fuse_act="gelu", name="last0")(xx)
+        # last0 (5*d2 -> 2*d2) goes to XLA when the concat is wide: at the
+        # 1/4 site (800 ch) the MXU is already well fed with K=800 and the
+        # Pallas chunk-slab materialization of the input cost ~1.1 ms of
+        # pure relayout at eval size (r3 device profile: pad_bitcast_fusion
+        # + copy + reshape on bf16[1,896,194,258]); at the narrower 1/8
+        # site (300 ch) the fused kernel measured faster — keep it there.
+        fuse_last0 = fuse and xx.shape[-1] <= 400
+        x = ConvLn(d2 * 2, fuse=fuse_last0, fuse_act="gelu",
+                   name="last0")(xx)
         x = nn.Conv(self.in_dim, (1, 1), use_bias=False, kernel_init=XAVIER,
                     name="last1")(x)
         return x[:, :H, :W]

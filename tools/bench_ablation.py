@@ -196,6 +196,124 @@ def bench_eval_batch():
     return out
 
 
+def bench_batch_slope():
+    """SLOPE-measured per-image forward cost vs batch size (bs 1/2/4).
+
+    bench_eval_batch times sustained dispatch loops, which entangles the
+    per-call tunnel overhead with compute; the in-graph scan slope
+    isolates pure per-iteration compute, so bs-dependent differences here
+    are real layout/compute pathology, not dispatch artifacts
+    (VERDICT r2 weak #3: batched serving REGRESSES vs batch 1)."""
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.models import GlassRGBD
+    cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0, use_pallas=True)
+    model = GlassRGBD(cfg)
+    out = {}
+    params = None
+    for bs in (1, 2, 4):
+        x = jax.random.normal(jax.random.PRNGKey(_seed()),
+                              (bs, *cfg.eval_hw, 3))
+        if params is None:
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+        def fwd(p, images):
+            o = model.apply(p, images)
+            return (o["pred_depth"][-1], o["pred_seg"], o["pred_logits"])
+
+        try:
+            t = timed_scan(fwd, (x,), n_rep=3, consts=params)
+            out[f"bs{bs}_ms_per_img"] = round(t * 1e3 / bs, 2)
+        except Exception as e:
+            out[f"bs{bs}_ms_per_img"] = f"FAILED: {type(e).__name__}"[:80]
+    return out
+
+
+def bench_batch_components():
+    """Per-component batch scaling: slope ms/IMG at bs=1 vs bs=4 for each
+    hot sub-graph of the eval forward. A component whose per-image cost
+    RISES with batch is the batched-serving pathology; one whose cost
+    falls batches well. Shapes mirror the 768x1024 eval protocol."""
+    from gwdepth_tpu.config import GWDepthConfig
+    from gwdepth_tpu.models import GlassRGBD
+    from gwdepth_tpu.models.resnet import ResNetBackbone
+    from gwdepth_tpu.models.swin import SwinLayer
+    from gwdepth_tpu.models.points import PyramidLayer, certain_sample
+
+    cfg = GWDepthConfig(eval_hw=(768, 1024), dropout=0.0)
+    out = {}
+
+    def slope_pair(tag, make_mod, make_args):
+        for bs in (1, 4):
+            try:
+                m, args_fn = make_mod(), make_args
+                xs = args_fn(bs)
+                params = jax.jit(m.init)(jax.random.PRNGKey(0), *xs)
+                t = timed_scan(
+                    lambda p, *a: m.apply(p, *a), xs, n_rep=3,
+                    consts=params)
+                out[f"{tag}_bs{bs}_ms_per_img"] = round(t * 1e3 / bs, 3)
+            except Exception as e:
+                out[f"{tag}_bs{bs}_ms_per_img"] = \
+                    f"FAILED: {type(e).__name__}: {e}"[:100]
+
+    # backbone (768x1024 -> 4 levels)
+    slope_pair(
+        "backbone",
+        lambda: ResNetBackbone(cfg.backbone, dtype=jnp.float32),
+        lambda bs: (jax.random.normal(jax.random.PRNGKey(_seed()),
+                                      (bs, 768, 1024, 3)),))
+
+    # class transformer stages (dims D/2, D/4, D/8 at 1/16, 1/8, 1/4 with
+    # heads=16 -> head_dim 8/4/2: the lane-padding suspects)
+    D = cfg.dense_trans_dim
+    for tag, (dim, depth, hw) in {
+            "class1_1_16": (D // 2, cfg.class_trans_layers[0], (48, 64)),
+            "class2_1_8": (D // 4, cfg.class_trans_layers[1], (96, 128)),
+            "class3_1_4": (D // 8, cfg.class_trans_layers[2], (192, 256)),
+    }.items():
+        def make_args(bs, dim=dim, hw=hw):
+            k = jax.random.PRNGKey(_seed())
+            x = jax.random.normal(k, (bs, *hw, dim))
+            tok = jax.random.normal(jax.random.fold_in(k, 1),
+                                    (bs, *hw, cfg.class_token_dim))
+            return (x, None, None, tok, tok)
+        slope_pair(
+            tag,
+            lambda dim=dim, depth=depth: SwinLayer(
+                dim, depth, cfg.dense_trans_heads, cfg.window_size,
+                cfg.mlp_ratio, "class", cfg.class_token_dim),
+            make_args)
+
+    # point machinery at its two call sites
+    for tag, (h, w, H, W, S) in {
+            "certain_sample_16_8": (48, 64, 96, 128, 30),
+            "certain_sample_8_4": (96, 128, 192, 256, 80)}.items():
+        for bs in (1, 4):
+            small = jax.random.uniform(jax.random.PRNGKey(_seed()),
+                                       (bs, h, w))
+            large = jax.random.uniform(jax.random.PRNGKey(_seed() ^ 1),
+                                       (bs, H, W))
+            try:
+                t = timed_scan(
+                    lambda s, l: certain_sample(
+                        s, l, cfg.depth_interval, S, 1e-4),
+                    (small, large), n_rep=3)
+                out[f"{tag}_bs{bs}_ms_per_img"] = round(t * 1e3 / bs, 3)
+            except Exception as e:
+                out[f"{tag}_bs{bs}_ms_per_img"] = \
+                    f"FAILED: {type(e).__name__}"[:80]
+
+    for tag, (H, W, P) in {"pyramid_1_8": (96, 128, 30),
+                           "pyramid_1_4": (192, 256, 80)}.items():
+        def make_args(bs, H=H, W=W, P=P):
+            return (jax.random.normal(jax.random.PRNGKey(_seed()),
+                                      (bs, H, W, P)),)
+        slope_pair(tag, lambda P=P: PyramidLayer(P, (16, 8, 4, 2)),
+                   make_args)
+
+    return out
+
+
 def bench_fwd_variants():
     """Slope-measured full-forward time under feature-gate ablations:
     the difference vs 'full' prices each component at eval size."""
@@ -350,6 +468,10 @@ def main():
                               "pallas": bench_eval_fwd(True)}
     if "batch" in what:
         res["eval_batch_img_per_s"] = bench_eval_batch()
+    if "batch_slope" in what:
+        res["eval_batch_slope"] = bench_batch_slope()
+    if "batch_components" in what:
+        res["batch_components"] = bench_batch_components()
     if "variants" in what:
         res["fwd_variants_ms"] = bench_fwd_variants()
     if "train" in what:
