@@ -321,18 +321,15 @@ def _dilate(mask: np.ndarray, r: int) -> np.ndarray:
     return out
 
 
-def aph_score(pred_dir: str, gt_dir: str, tolerance: int = 1,
-              n_thresholds: int = 20) -> float:
-    """Heatmap-based AP over a dump directory, x100.
+def aph_pr_points(pred_dir: str, gt_dir: str, tolerance: int = 1,
+                  n_thresholds: int = 20):
+    """Heatmap precision/recall sweep over score thresholds.
 
-    The reference shells out to MATLAB for this metric
-    (evaluation/eval-aph-score-glassrgbd.py:70-77); this is a
-    MATLAB-free numpy equivalent: lines are rasterized on the 128-grid,
-    pixel precision/recall is swept over score thresholds (pred pixels
-    within `tolerance` of a GT pixel count as true), and AP is the area
-    under the interpolated PR curve. Values are comparable across models
-    evaluated with this implementation; absolute numbers may differ from
-    the MATLAB one in tolerance details."""
+    Lines are rasterized on the 128-grid; pred pixels within `tolerance`
+    of a GT pixel count as true. Returns (thresholds, precisions,
+    recalls) as float arrays — the raw points `aph_score` integrates and
+    `utils.visualize.aph_pr_curve` plots (the reference computes the same
+    sweep inside MATLAB, evaluation/eval-aph-score-glassrgbd.py:104-122)."""
     pairs = _load_dir_pairs(pred_dir, gt_dir)
     all_scores = np.concatenate([p[1] for p in pairs]) if pairs else np.array([0.])
     thresholds = np.quantile(all_scores, np.linspace(0, 1, n_thresholds))
@@ -350,6 +347,24 @@ def aph_score(pred_dir: str, gt_dir: str, tolerance: int = 1,
             fn += int((gmap & ~pdil).sum())
         precisions.append(tp / max(tp + fp, 1))
         recalls.append(tp / max(tp + fn, 1))
+    return (np.asarray(thresholds, np.float64),
+            np.asarray(precisions, np.float64),
+            np.asarray(recalls, np.float64))
+
+
+def aph_score(pred_dir: str, gt_dir: str, tolerance: int = 1,
+              n_thresholds: int = 20) -> float:
+    """Heatmap-based AP over a dump directory, x100.
+
+    The reference shells out to MATLAB for this metric
+    (evaluation/eval-aph-score-glassrgbd.py:70-77); this is a
+    MATLAB-free numpy equivalent: pixel precision/recall from
+    `aph_pr_points`, AP as the area under the interpolated PR curve.
+    Values are comparable across models evaluated with this
+    implementation; absolute numbers may differ from the MATLAB one in
+    tolerance details."""
+    _, precisions, recalls = aph_pr_points(pred_dir, gt_dir, tolerance,
+                                           n_thresholds)
     order = np.argsort(recalls)
     r = np.concatenate([[0.0], np.asarray(recalls)[order], [1.0]])
     p = np.concatenate([[0.0], np.asarray(precisions)[order], [0.0]])

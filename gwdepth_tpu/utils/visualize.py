@@ -107,3 +107,58 @@ def vis_pred_lines(pred_lines_px: np.ndarray, pred_scores: np.ndarray,
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     Image.fromarray(out).save(save_path)
     return out
+
+
+def aph_pr_curve(pred_dir: str, gt_dir: str, out_dir: str,
+                 tolerance: int = 1, n_thresholds: int = 20,
+                 label: str = "gwdepth_tpu") -> dict:
+    """APH PR-curve figure + points dump — the paper-figure tail of the
+    APH pipeline (reference: evaluation/eval-aph-score-glassrgbd.py:
+    104-170 computes F^H / AP^H from the per-threshold PR sweep, then
+    plots the monotonic PR curve with iso-F contours; the MATLAB step it
+    shells out to is replaced by evaluation.line_metrics.aph_pr_points).
+
+    Writes `aph_pr.png` and `aph_pr_points.npz` (thresholds, precisions,
+    recalls) into out_dir; returns {"aph", "fh", "png", "npz"}.
+    """
+    from gwdepth_tpu.evaluation.line_metrics import aph_pr_points, aph_score
+
+    thresholds, prs, rcs = aph_pr_points(pred_dir, gt_dir, tolerance,
+                                         n_thresholds)
+    aph = aph_score(pred_dir, gt_dir, tolerance, n_thresholds)
+    # F^H = max F over the sweep (eval-aph-score-glassrgbd.py:111-114)
+    fh = float((2 * prs * rcs / (prs + rcs + 1e-9)).max()) if prs.size else 0.0
+
+    os.makedirs(out_dir, exist_ok=True)
+    npz_path = os.path.join(out_dir, "aph_pr_points.npz")
+    np.savez_compressed(npz_path, thresholds=thresholds,
+                        precisions=prs, recalls=rcs,
+                        aph=np.float64(aph), fh=np.float64(fh))
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    # iso-F contours, as in the reference figure (:135-141)
+    for f_score in np.linspace(0.2, 0.8, num=8):
+        x = np.linspace(0.01, 1)
+        y = f_score * x / np.maximum(2 * x - f_score, 1e-9)
+        m = (y >= 0) & (y <= 1.05)
+        ax.plot(x[m], y[m], color="green", alpha=0.3, linewidth=1)
+        if m.any():
+            ax.annotate(f"f={f_score:0.1f}", xy=(0.9, min(y[45], 1.0) + 0.02),
+                        alpha=0.4, fontsize=8)
+    order = np.argsort(rcs)
+    ax.plot(rcs[order], prs[order], linewidth=3, label=label)
+    ax.grid(True)
+    ax.set_xlim(0.0, 1.0)
+    ax.set_ylim(0.0, 1.0)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.legend(loc=3)
+    ax.set_title(f"PR Curve for APH (AP$^H$={aph:.1f}, F$^H$={fh:.3f})")
+    png_path = os.path.join(out_dir, "aph_pr.png")
+    fig.savefig(png_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return {"aph": aph, "fh": fh, "png": png_path, "npz": npz_path}

@@ -3,6 +3,7 @@ lower it; NMS suppresses duplicate collinear segments; npz dump round-trips
 through the directory-level scorer."""
 
 import numpy as np
+import pytest
 
 from gwdepth_tpu.evaluation import (
     ap, fscore, ms_tp_fp, sap_score, line_nms, dump_benchmark_npz,
@@ -159,3 +160,31 @@ def test_pr_curve_and_plot(tmp_path):
     out = plot_pr_curves({"run0": c}, str(tmp_path / "pr.png"))
     import os
     assert os.path.getsize(out) > 0
+
+
+def test_aph_pr_curve_outputs(tmp_path):
+    """PR-curve tail of the APH pipeline (reference: eval-aph-score-
+    glassrgbd.py:104-170): PNG + points npz written, AP^H consistent with
+    aph_score, F^H in (0, 1]."""
+    from gwdepth_tpu.evaluation.line_metrics import aph_score
+    from gwdepth_tpu.utils.visualize import aph_pr_curve
+    rng = np.random.default_rng(9)
+    pred_dir = tmp_path / "p"; gt_dir = tmp_path / "g"
+    pred_dir.mkdir(); gt_dir.mkdir()
+    for i in range(2):
+        gt = rng.uniform(10, 118, (5, 2, 2))
+        np.savez(gt_dir / f"i{i}.npz", lpos=gt)
+        # half-right predictions so the sweep has a real PR trade-off
+        noisy = np.concatenate([gt[:3], rng.uniform(0, 128, (4, 2, 2))])
+        np.savez(pred_dir / f"i{i}.npz", lines=noisy,
+                 score=np.linspace(1.0, 0.5, 7))
+    res = aph_pr_curve(str(pred_dir), str(gt_dir), str(tmp_path / "out"))
+    assert res["aph"] == pytest.approx(
+        aph_score(str(pred_dir), str(gt_dir)))
+    assert 0.0 < res["fh"] <= 1.0
+    import os
+    assert os.path.exists(res["png"]) and os.path.getsize(res["png"]) > 1000
+    pts = np.load(res["npz"])
+    assert pts["precisions"].shape == pts["recalls"].shape == \
+        pts["thresholds"].shape == (20,)
+    assert float(pts["aph"]) == pytest.approx(res["aph"])
