@@ -81,10 +81,21 @@ def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
 
 
 def window_msa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-               bias: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+               bias: jnp.ndarray, mask: Optional[jnp.ndarray],
+               use_pallas: bool = False) -> jnp.ndarray:
     """Core windowed attention. q/k/v: (B, nW, nH, N, hd); bias (nH, N, N);
     mask (nW, N, N) additive or None. Returns (B, nW, N, nH*hd).
-    Softmax in fp32 for TPU numerical safety."""
+    Softmax in fp32 for TPU numerical safety.
+
+    `use_pallas` routes through the fused VPU kernel
+    (ops/pallas_kernels.fused_window_msa): at the class-transformer
+    shapes (hd 4-8, ~10^3 windows) the XLA path materializes the f32
+    (nW, H, N, N) logits in HBM and runs its tiny dots at <1% MXU peak;
+    the kernel keeps each window chunk's logits in VMEM and is also MORE
+    accurate through the tunnel (true-f32 vs bf16 matmul passes)."""
+    if use_pallas:
+        from gwdepth_tpu.ops.pallas_kernels import fused_window_msa
+        return fused_window_msa(q, k, v, bias, mask)
     logits = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits + bias[None, None]
@@ -233,6 +244,22 @@ class PlainWindowAttention(nn.Module):
         return nn.Dense(C, kernel_init=TRUNC02, name="proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares the same kernel/bias params an `nn.Dense(name=...)` would
+    (identical tree paths/initializers) without applying the layer — the
+    fused Pallas attention consumes them through layout-absorbing einsums
+    instead (ops/pallas_kernels.fused_window_attention)."""
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", TRUNC02,
+                           (self.features_in, self.features_out)),
+                self.param("bias", nn.initializers.zeros,
+                           (self.features_out,)))
+
+
 class WindowClassAttention(nn.Module):
     """W-MSA plus depth/seg class-token channel cross-attention
     (reference: multiscale_transformerr.py:455-580, shipped config has
@@ -260,6 +287,19 @@ class WindowClassAttention(nn.Module):
         tC = self.token_dim
         scale = (C // H) ** -0.5
 
+        # NOTE on the fused Pallas W-MSA (ops/pallas_kernels.py,
+        # fused_window_attention): in ISOLATION it beats this XLA path
+        # ~2x at the class shapes (and is more accurate through the
+        # tunnel — true-f32 vs bf16 matmul passes), and wired in here it
+        # cut class2/3 attention 7.8 -> 5.5 ms — but the custom-call
+        # boundary forces the windowed features to MATERIALIZE, and the
+        # layout conversions that appear upstream (backbone/proj convs,
+        # +3.5 ms) outweigh the local win at every fencing strategy
+        # tried (explicit transposes / layout-absorbing GEMMs /
+        # optimization_barrier / a Pallas identity fence). XLA's fusion
+        # of window-partition into the qkv GEMM is worth more than the
+        # kernel saves, so the model keeps the XLA formulation; the
+        # kernel stays available for standalone/serving use.
         qkv = nn.Dense(3 * C, kernel_init=TRUNC02, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = _split_heads(q, H) * scale
