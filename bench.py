@@ -191,7 +191,7 @@ def bench_eval_fwd(seed: int, flops: float | None):
     # a fixed-seed benchmark replayed by the driver would report cache
     # lookups, not compute. (Eval fwd was verified memo-free, fresh ==
     # repeat — the entropy seed keeps that guarantee cheap and permanent.)
-    n_windows, n_iters = 3, 12
+    n_windows, n_iters = 3, 20
     total = n_windows * n_iters
     inputs = [jax.random.normal(jax.random.PRNGKey(seed + i),
                                 (1, *cfg.eval_hw, 3), jnp.float32)
@@ -201,7 +201,13 @@ def bench_eval_fwd(seed: int, flops: float | None):
     @jax.jit
     def fwd(images):
         out = model.apply(params, images)
-        return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"]
+        # in-graph checksum: a 4-byte device_get of it is the completion
+        # barrier for the whole program (block_until_ready alone can be
+        # acknowledged by the tunnel WITHOUT executing — seen returning
+        # 30x the device-profile ceiling on array outputs too, not just
+        # scalars as previously believed)
+        csum = jnp.sum(out["pred_depth"][-1]) + jnp.sum(out["pred_seg"])
+        return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"], csum
 
     # warmup / compile
     jax.block_until_ready(fwd(inputs[0]))
@@ -211,6 +217,9 @@ def bench_eval_fwd(seed: int, flops: float | None):
         t0 = time.perf_counter()
         outs = [fwd(inputs[2 + w * n_iters + i]) for i in range(n_iters)]
         jax.block_until_ready(outs)
+        # one scalar pull per window; the ~35 ms fixed RTT is amortized
+        # over n_iters sequential executions (~4-5% — honest beats fast)
+        float(jax.device_get(outs[-1][3]))
         wins.append(n_iters / (time.perf_counter() - t0))
     ips, med = max(wins), statistics.median(wins)
     return ips, med, (flops * ips / PEAK_FLOPS if flops else None)
