@@ -199,27 +199,37 @@ def bench_eval_fwd(seed: int, flops: float | None):
     params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs[0])
 
     @jax.jit
-    def fwd(images):
+    def fwd(images, csum_in):
         out = model.apply(params, images)
         # in-graph checksum: a 4-byte device_get of it is the completion
         # barrier for the whole program (block_until_ready alone can be
         # acknowledged by the tunnel WITHOUT executing — seen returning
         # 30x the device-profile ceiling on array outputs too, not just
-        # scalars as previously believed)
-        csum = jnp.sum(out["pred_depth"][-1]) + jnp.sum(out["pred_seg"])
+        # scalars as previously believed).  The checksum is CHAINED
+        # through the window (csum_in is the previous iteration's csum),
+        # so the single end-of-window pull transitively forces EVERY
+        # iteration — without the chain the 20 programs are independent
+        # and the pull proves only the last one executed (ADVICE r3).
+        csum = (jnp.sum(out["pred_depth"][-1]) + jnp.sum(out["pred_seg"])
+                + csum_in)
         return out["pred_depth"][-1], out["pred_seg"], out["pred_logits"], csum
 
     # warmup / compile
-    jax.block_until_ready(fwd(inputs[0]))
-    jax.block_until_ready(fwd(inputs[1]))
+    csum = jnp.float32(0.0)
+    csum = fwd(inputs[0], csum)[3]
+    csum = fwd(inputs[1], csum)[3]
+    jax.block_until_ready(csum)
     wins = []
     for w in range(n_windows):
         t0 = time.perf_counter()
-        outs = [fwd(inputs[2 + w * n_iters + i]) for i in range(n_iters)]
-        jax.block_until_ready(outs)
+        for i in range(n_iters):
+            out = fwd(inputs[2 + w * n_iters + i], csum)
+            csum = out[3]
         # one scalar pull per window; the ~35 ms fixed RTT is amortized
-        # over n_iters sequential executions (~4-5% — honest beats fast)
-        float(jax.device_get(outs[-1][3]))
+        # over n_iters sequential executions (~4-5% — honest beats fast).
+        # Pulling the CHAINED csum is the transitive barrier for all
+        # n_iters programs in this window.
+        float(jax.device_get(csum))
         wins.append(n_iters / (time.perf_counter() - t0))
     ips, med = max(wins), statistics.median(wins)
     return ips, med, (flops * ips / PEAK_FLOPS if flops else None)

@@ -321,15 +321,51 @@ def _dilate(mask: np.ndarray, r: int) -> np.ndarray:
     return out
 
 
+def _match_counts(pmap: np.ndarray, gmap: np.ndarray, tolerance: int
+                  ) -> tuple:
+    """ONE-TO-ONE pixel correspondence counts (tp, fp, fn).
+
+    Maximum-cardinality bipartite matching between pred and GT pixels
+    within Chebyshev distance `tolerance` — each GT pixel validates at
+    most ONE pred pixel and vice versa, the semantics of the BSDS
+    `correspondPixels` matcher inside the MATLAB `eval_release` the
+    reference shells out to (evaluation/eval-aph-score-glassrgbd.py:70-77;
+    the .m sources are not shipped).  The dilation protocol in
+    `aph_pr_points` is many-to-one and therefore an UPPER BOUND on
+    tp (lower bound on fp/fn); tests/test_aph_tolerance_bound.py pins the
+    worst-case and realistic-case deltas."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import maximum_bipartite_matching
+    pp = np.argwhere(pmap)
+    gg = np.argwhere(gmap)
+    if len(pp) == 0 or len(gg) == 0:
+        return 0, int(len(pp)), int(len(gg))
+    # adjacency: |dy|<=r and |dx|<=r (the square structuring element the
+    # dilation protocol uses, so the two protocols differ ONLY in
+    # one-to-one-ness, not in the distance notion)
+    close = (np.abs(pp[:, None, 0] - gg[None, :, 0]) <= tolerance) & \
+            (np.abs(pp[:, None, 1] - gg[None, :, 1]) <= tolerance)
+    graph = csr_matrix(close)
+    match = maximum_bipartite_matching(graph, perm_type="column")
+    tp = int((match >= 0).sum())
+    return tp, int(len(pp) - tp), int(len(gg) - tp)
+
+
 def aph_pr_points(pred_dir: str, gt_dir: str, tolerance: int = 1,
-                  n_thresholds: int = 20):
+                  n_thresholds: int = 20, protocol: str = "dilate"):
     """Heatmap precision/recall sweep over score thresholds.
 
     Lines are rasterized on the 128-grid; pred pixels within `tolerance`
     of a GT pixel count as true. Returns (thresholds, precisions,
     recalls) as float arrays — the raw points `aph_score` integrates and
     `utils.visualize.aph_pr_curve` plots (the reference computes the same
-    sweep inside MATLAB, evaluation/eval-aph-score-glassrgbd.py:104-122)."""
+    sweep inside MATLAB, evaluation/eval-aph-score-glassrgbd.py:104-122).
+
+    `protocol`: "dilate" counts a pred pixel as tp when it lands inside
+    the `tolerance`-dilated GT map (many-to-one, fast); "match" uses
+    maximum one-to-one bipartite pixel correspondence (`_match_counts`) —
+    the closer analogue of the MATLAB correspondPixels protocol."""
+    assert protocol in ("dilate", "match"), protocol
     pairs = _load_dir_pairs(pred_dir, gt_dir)
     all_scores = np.concatenate([p[1] for p in pairs]) if pairs else np.array([0.])
     thresholds = np.quantile(all_scores, np.linspace(0, 1, n_thresholds))
@@ -341,6 +377,10 @@ def aph_pr_points(pred_dir: str, gt_dir: str, tolerance: int = 1,
         for (pl, ps, _), gmap, gdil in zip(pairs, gt_maps, gt_dil):
             pl, ps = _truncate_duplicate_tail(pl, ps)
             pmap = rasterize_lines(pl[ps >= t])
+            if protocol == "match":
+                tp_i, fp_i, fn_i = _match_counts(pmap, gmap, tolerance)
+                tp, fp, fn = tp + tp_i, fp + fp_i, fn + fn_i
+                continue
             pdil = _dilate(pmap, tolerance)
             tp += int((pmap & gdil).sum())
             fp += int((pmap & ~gdil).sum())
@@ -353,18 +393,24 @@ def aph_pr_points(pred_dir: str, gt_dir: str, tolerance: int = 1,
 
 
 def aph_score(pred_dir: str, gt_dir: str, tolerance: int = 1,
-              n_thresholds: int = 20) -> float:
+              n_thresholds: int = 20, protocol: str = "dilate") -> float:
     """Heatmap-based AP over a dump directory, x100.
 
     The reference shells out to MATLAB for this metric
     (evaluation/eval-aph-score-glassrgbd.py:70-77); this is a
     MATLAB-free numpy equivalent: pixel precision/recall from
     `aph_pr_points`, AP as the area under the interpolated PR curve.
-    Values are comparable across models evaluated with this
-    implementation; absolute numbers may differ from the MATLAB one in
-    tolerance details."""
+
+    Protocol bound (tests/test_aph_tolerance_bound.py): the default
+    "dilate" counting is many-to-one and upper-bounds the one-to-one
+    correspondPixels counting ("match") — adversarial pred sets that
+    crowd (2r+1)^2 pixels onto single GT pixels drive the precision gap
+    to its (2r+1)^2 factor worst case, but on realistic 1-px line
+    rasters (non-overlapping predictions) the measured AP^H delta stays
+    within a few points; pass protocol="match" for the MATLAB-style
+    one-to-one numbers."""
     _, precisions, recalls = aph_pr_points(pred_dir, gt_dir, tolerance,
-                                           n_thresholds)
+                                           n_thresholds, protocol)
     order = np.argsort(recalls)
     r = np.concatenate([[0.0], np.asarray(recalls)[order], [1.0]])
     p = np.concatenate([[0.0], np.asarray(precisions)[order], [0.0]])

@@ -8,10 +8,13 @@ depth, 2-channel logits for segmentation. Layout NHWC.
 
 Two numerically-equivalent execution paths share one parameter tree:
 
-- `blockconv=True` (default): the tail runs in space-to-depth form on the
-  1/4-resolution grid — the 1/2-res stage as (h, w, 4*tC) and the full-res
-  stage as (h, w, 16*tC/2) — with kernels remapped by
-  `ops/blockconv.block_kernel`. The original NHWC tail pads its 16/32
+- `blockconv=True` (default): the tail runs in space-to-depth form in two
+  s2d(2) stages — the 1/2-res stage as (h, w, 4*tC) on the 1/4 grid, then
+  a depth_to_space(2) and the full-res stage as (2h, 2w, 4*tC/2) on the
+  HALF-res grid (see `_tail_block`; the earlier single s2d(4)-on-1/4-grid
+  form paid 16x block-kernel MACs where s2d(2) pays 4x) — with kernels
+  remapped by `ops/blockconv.block_kernel`. The original NHWC tail pads
+  its 16/32
   channel planes 8x/4x to the 128-lane tile; measured on the v5e this
   made the decoder ~15 ms of a 42 ms eval forward (1.7-2.0 ms per
   full-res conv link). The block path keeps lanes full and is exact up

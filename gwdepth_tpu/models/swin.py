@@ -88,14 +88,16 @@ def window_msa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Softmax in fp32 for TPU numerical safety.
 
     `use_pallas` routes through the fused VPU kernel
-    (ops/pallas_kernels.fused_window_msa): at the class-transformer
-    shapes (hd 4-8, ~10^3 windows) the XLA path materializes the f32
-    (nW, H, N, N) logits in HBM and runs its tiny dots at <1% MXU peak;
-    the kernel keeps each window chunk's logits in VMEM and is also MORE
-    accurate through the tunnel (true-f32 vs bf16 matmul passes)."""
+    (ops/pallas_kernels.window_msa_pallas, interpret mode off-TPU): at
+    the class-transformer shapes (hd 4-8, ~10^3 windows) the XLA path
+    materializes the f32 (nW, H, N, N) logits in HBM and runs its tiny
+    dots at <1% MXU peak; the kernel keeps each window chunk's logits in
+    VMEM and is also MORE accurate through the tunnel (true-f32 vs bf16
+    matmul passes)."""
     if use_pallas:
-        from gwdepth_tpu.ops.pallas_kernels import fused_window_msa
-        return fused_window_msa(q, k, v, bias, mask)
+        from gwdepth_tpu.ops.pallas_kernels import window_msa_pallas
+        return window_msa_pallas(q, k, v, bias, mask,
+                                 interpret=jax.default_backend() != "tpu")
     logits = jnp.einsum("bwhnd,bwhmd->bwhnm", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits + bias[None, None]

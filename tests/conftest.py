@@ -16,3 +16,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache (VERDICT r3 #7): the parity waves
+# compile large XLA-CPU programs serially; without the cache EVERY pytest
+# run recompiles them from scratch (90-110 min suite on this 1-core box).
+# Keyed on program+flags+topology, so entries are exact-hit only.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,187 @@
+"""From-scratch convergence A/B vs the real reference (VERDICT r3 next #6).
+
+The lockstep trajectory tests (4-step and 25-step) pin per-step numerics;
+this test attacks the remaining axis: TRAINING DYNAMICS. Both frameworks
+train from the SAME random init (reference torch init, converted) on the
+SAME structured synthetic scenes (gwdepth_tpu.tools.synthetic — glass
+panels with planar depth, frames as line cues) for N_STEPS independent
+AdamW+StepLR steps, then both eval loops run on held-out scenes.
+
+Unlike the lockstep tests there is NO per-step assertion: after ~100
+steps float non-associativity makes trajectories diverge chaotically, so
+step-wise equality is the wrong contract. What must hold for the
+frameworks to be interchangeable on real data is:
+
+1. both LEARN: late-window train loss well below the early window, and
+   end eval RMSE/mIoU far better than an untrained model on this data;
+2. both land in the SAME basin: end eval depth metrics within loose
+   statistical tolerance of each other, seg IoU within a few points.
+
+This is the closest available proxy to the real-data north star
+(BASELINE.md; reference loop: src/main_glassrgbd.py:193-237) on a box
+with no GW-Depth dataset.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from reference_harness import (cuda_as_cpu, get_ref, make_ref_args, nchw,
+                               state_dict_numpy)
+from gwdepth_tpu.config import GWDepthConfig
+from gwdepth_tpu.convert.full_model import glassrgbd_torch_to_flax, coverage
+from gwdepth_tpu.convert.torch_weights import merge_params
+from gwdepth_tpu.tools.synthetic import generate_scene
+from gwdepth_tpu.data.dataset import lines_from_polygons
+
+from test_reference_parity_train_loop import _ref_loss
+from test_reference_parity_eval_loop import _OurEvalLoader, _RefEvalLoader
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return get_ref()
+
+
+N_STEPS = 100
+LR_DROP = 60
+N_EVAL = 3
+H, W = 128, 192
+B = 1
+# GW-Depth RGB normalization (data/transforms.py eval_transform)
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _cfg() -> GWDepthConfig:
+    return GWDepthConfig(
+        enc_layers=2, dec_layers=2, dim_feedforward=256, num_queries=30,
+        dropout=0.0, dense_trans_layers=(2,), class_trans_layers=(1, 1, 1),
+        group_attention_layers=((False, False), (False, False), (False,)),
+        train_hw=(H, W), eval_hw=(H, W), lr_drop=LR_DROP)
+
+
+def _scene(rng: np.random.Generator):
+    """One normalized scene: (img f32 (B,H,W,3), depth m, seg, lines6)."""
+    rgb, depth_mm, seg, shapes = generate_scene(rng, H, W)
+    img = ((rgb.astype(np.float32) / 255.0 - _MEAN) / _STD)[None]
+    depth = (depth_mm.astype(np.float32) / 1000.0)[None]
+    ln4, centers, _ = lines_from_polygons({"shapes": shapes})
+    if len(ln4) == 0:       # degenerate scene: one dummy line
+        ln4 = np.array([[10.0, 10.0, 50.0, 10.0]])
+        centers = np.array([[30.0, 10.0]])
+    ln6 = np.concatenate([ln4, centers], axis=1).astype(np.float32)
+    ln6[:, 0::2] /= W       # image-normalized, image==canvas here
+    ln6[:, 1::2] /= H
+    return img, depth, seg.astype(np.int64)[None], ln6[None]
+
+
+def test_convergence_ab(ref, tmp_path):
+    cfg = _cfg()
+    args = make_ref_args(cfg, coco_path=None, append_word=None,
+                         resume="checkpoint.pth", dataset="glassrgbd")
+    torch.manual_seed(97)
+    model_t, crits, _ = ref.glassrgbd.build(args)
+    model_t.train()
+
+    rng = np.random.default_rng(40412)
+    batches = [_scene(rng) for _ in range(N_STEPS)]
+    eval_samples = [_scene(rng) for _ in range(N_EVAL)]
+
+    # ---- reference loop (main_glassrgbd.py:59-67 groups, engine clip)
+    param_dicts = [
+        {"params": [p for n, p in model_t.named_parameters()
+                    if "backbone" not in n and p.requires_grad]},
+        {"params": [p for n, p in model_t.named_parameters()
+                    if "backbone" in n and p.requires_grad],
+         "lr": cfg.lr_backbone},
+    ]
+    opt = torch.optim.AdamW(param_dicts, lr=cfg.lr,
+                            weight_decay=cfg.weight_decay)
+    sched = torch.optim.lr_scheduler.StepLR(opt, LR_DROP)
+    init_state = state_dict_numpy(model_t)
+
+    losses_t = []
+    for img, depth, seg, lines in batches:
+        nt = ref.misc.NestedTensor(
+            nchw(img), torch.zeros((B, H, W), dtype=torch.bool))
+        out_t = model_t(nt)
+        total = _ref_loss(cfg, crits, out_t, depth, seg, lines)
+        opt.zero_grad()
+        total.backward()
+        torch.nn.utils.clip_grad_norm_(model_t.parameters(),
+                                       cfg.clip_max_norm)
+        opt.step()
+        sched.step()
+        losses_t.append(float(total))
+
+    model_t.eval()
+    eng = importlib.import_module("engine_glassrgbd")
+    with cuda_as_cpu(), torch.no_grad():
+        stats_t = eng.evaluate(
+            model_t, crits, None, _RefEvalLoader(ref.misc, eval_samples),
+            None, "cpu", "", args, save_dir=str(tmp_path), epoch=0)
+
+    # ---- our loop from the SAME initial weights
+    from gwdepth_tpu.data.batch import Batch
+    from gwdepth_tpu.engine import evaluate
+    from gwdepth_tpu.models import GlassRGBD
+    from gwdepth_tpu.parallel.train_state import create_train_state
+    from gwdepth_tpu.parallel.train_step import make_train_step, make_eval_step
+
+    m = GlassRGBD(cfg)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((B, H, W, 3)))["params"]
+    overlay = glassrgbd_torch_to_flax(init_state)
+    cov, total_n, missing = coverage(overlay, params)
+    assert cov == total_n, f"uncovered {len(missing)}/{total_n}"
+    params = merge_params(params, overlay)
+
+    state = create_train_state(cfg, params, steps_per_epoch=1)
+    step_fn = make_train_step(cfg, m)
+
+    losses_j = []
+    for i, (img, depth, seg, lines) in enumerate(batches):
+        T = cfg.max_lines
+        k = min(lines.shape[1], T)
+        tgt = np.zeros((B, T, 6), np.float32)
+        msk = np.zeros((B, T), bool)
+        tgt[:, :k] = lines[:, :k]
+        msk[:, :k] = True
+        batch = Batch(images=jnp.asarray(img),
+                      valid=jnp.ones((B, H, W), bool),
+                      depth=jnp.asarray(depth), seg=jnp.asarray(seg),
+                      lines=jnp.asarray(tgt), line_mask=jnp.asarray(msk))
+        state, logs = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses_j.append(float(logs[step_fn.log_keys.index("loss")]))
+
+    stats_j = evaluate(cfg, state.params, make_eval_step(cfg, m),
+                       _OurEvalLoader(cfg, eval_samples))
+
+    # ---- 1. both frameworks LEARNED on this data
+    early_t, late_t = np.mean(losses_t[:10]), np.mean(losses_t[-10:])
+    early_j, late_j = np.mean(losses_j[:10]), np.mean(losses_j[-10:])
+    assert late_t < 0.7 * early_t, (early_t, late_t)
+    assert late_j < 0.7 * early_j, (early_j, late_j)
+    # and by a SIMILAR amount — the dynamics, not just the endpoints
+    np.testing.assert_allclose(late_j / early_j, late_t / early_t, atol=0.15)
+
+    # ---- 2. same basin: end eval metrics agree within loose statistical
+    # tolerance (trajectories are long-divergent, so these are basin
+    # properties, not lockstep float equality)
+    for k, rt in [("rms", 0.2), ("abs_rel", 0.25), ("log_rms", 0.25)]:
+        np.testing.assert_allclose(stats_j[k], stats_t[k], rtol=rt,
+                                   err_msg=f"depth metric {k}")
+    for k in ["d1", "d2", "d3"]:
+        np.testing.assert_allclose(stats_j[k], stats_t[k], atol=0.08,
+                                   err_msg=f"depth metric {k}")
+    for ours, theirs in [("mean_iou", "Mean IU"),
+                         ("pixel_accuracy", "Pixel accuracy")]:
+        np.testing.assert_allclose(stats_j[ours], stats_t[theirs],
+                                   atol=6.0, err_msg=f"seg {ours}")
