@@ -167,10 +167,23 @@ def test_convergence_ab(ref, tmp_path):
     # ---- 1. both frameworks LEARNED on this data
     early_t, late_t = np.mean(losses_t[:10]), np.mean(losses_t[-10:])
     early_j, late_j = np.mean(losses_j[:10]), np.mean(losses_j[-10:])
-    assert late_t < 0.7 * early_t, (early_t, late_t)
-    assert late_j < 0.7 * early_j, (early_j, late_j)
+    print(f"\nref   loss {early_t:.3f} -> {late_t:.3f} "
+          f"(ratio {late_t / early_t:.3f})")
+    print(f"ours  loss {early_j:.3f} -> {late_j:.3f} "
+          f"(ratio {late_j / early_j:.3f})")
+    print("ref  eval:", {k: round(float(stats_t[k]), 4) for k in
+                         ("rms", "abs_rel", "d1", "Mean IU")
+                         if k in stats_t})
+    print("ours eval:", {k: round(float(stats_j[k]), 4) for k in
+                         ("rms", "abs_rel", "d1", "mean_iou")
+                         if k in stats_j})
+    # 100 steps at the reference LR schedule cuts the (slow-converging,
+    # Hungarian-matched) total by ~25% on this data — the bar asserts
+    # clear learning, not full convergence (measured ref ratio ~0.76)
+    assert late_t < 0.85 * early_t, (early_t, late_t)
+    assert late_j < 0.85 * early_j, (early_j, late_j)
     # and by a SIMILAR amount — the dynamics, not just the endpoints
-    np.testing.assert_allclose(late_j / early_j, late_t / early_t, atol=0.15)
+    np.testing.assert_allclose(late_j / early_j, late_t / early_t, atol=0.1)
 
     # ---- 2. same basin: end eval metrics agree within loose statistical
     # tolerance (trajectories are long-divergent, so these are basin

@@ -166,7 +166,7 @@ def bench_eval_batch():
     model = GlassRGBD(cfg)
     out = {}
     n_windows = 3
-    for bs in (1, 2, 4):
+    for bs in (1, 2, 4, 8):
         n = max(4, 12 // bs)
         # entropy-fresh inputs for EVERY window: the tunnel memoizes
         # identical (program, input) executions, so reusing one xs list
@@ -180,21 +180,24 @@ def bench_eval_batch():
         # closing over it serializes the weights into the program body and
         # risks the tunnel's remote-compile HTTP 413 limit (advisor r2)
         @jax.jit
-        def fwd(p, images):
+        def fwd(p, images, csum_in):
             o = model.apply(p, images)
-            return o["pred_depth"][-1], o["pred_seg"], o["pred_logits"]
+            # checksum CHAINED through the window: the single end-of-window
+            # 4-byte pull transitively forces every iteration (the tunnel
+            # can early-ack block_until_ready even on array outputs; and
+            # without the chain the pull proves only the LAST program ran)
+            csum = jnp.sum(o["pred_depth"][-1]) + csum_in
+            return o["pred_depth"][-1], o["pred_seg"], o["pred_logits"], csum
 
-        jax.block_until_ready(fwd(params, xs[0]))
+        csum = jnp.float32(0.0)
+        csum = fwd(params, xs[0], csum)[3]
+        jax.block_until_ready(csum)
         best = 0.0
         for w in range(n_windows):
             t0 = time.perf_counter()
-            outs = [fwd(params, x) for x in xs[1 + w * n:1 + (w + 1) * n]]
-            jax.block_until_ready(outs)
-            # force REAL execution: the tunnel can acknowledge
-            # block_until_ready without executing (measured 1192 "img/s"
-            # at bs1, 30x the device-profile ceiling); a scalar pull of
-            # the last output is the only reliable completion barrier
-            float(jnp.sum(outs[-1][0]))
+            for x in xs[1 + w * n:1 + (w + 1) * n]:
+                csum = fwd(params, x, csum)[3]
+            float(jax.device_get(csum))
             best = max(best, n * bs / (time.perf_counter() - t0))
         out[f"bs{bs}"] = round(best, 2)
         del params, xs
