@@ -56,24 +56,36 @@ from gwdepth_tpu.ops.mosaic_math import gelu as _gelu
 
 
 def _make_kernel(n_k: int, Wp: int, n_s: int, CH: int, has_ln: bool,
-                 act: Optional[str], has_res: bool, fast: bool):
+                 act: Optional[str], has_res: bool, fast: bool,
+                 im2col: bool = False, kc: int = 0):
     """Kernel over chunk-major frames. The spatial chunk index is a MAJOR
     (untiled) ref axis so fori_loop can index it dynamically — Mosaic has
     no dynamic-offset vector load/store on the lane axis, and a
     python-unrolled chunk loop allocated ~3 full output planes of
     non-reused spill slots (94-496 MB at the 1/4-scale sizes). The x
     chunks overlap by 2*Wp+2 lanes (materialized by the caller) so every
-    conv tap is a STATIC lane slice within one chunk."""
+    conv tap is a STATIC lane slice within one chunk.
+
+    `im2col=True` gathers the 9 tap slices into a (9*kc, CH) VMEM scratch
+    and runs ONE (Co, 9*kc) @ (9*kc, CH) dot per chunk instead of 9
+    (Co, kc) @ (kc, CH) dots.  Rationale: at the model's 160/80-channel
+    widths each narrow dot wastes most of its MXU passes on the K tail
+    (ceil(160/128)=2 passes at 62.5% fill, and the same again on M), so
+    the 9-dot form runs at ~26% of bf16 peak (r3 device profile); the
+    9*kc contraction amortizes the K tail (1440 -> 12 passes at 93.75%
+    fill) for ~1.4x fewer MXU pass-cycles, at the cost of one extra
+    VMEM round trip of the slab per chunk (~6%)."""
     def kernel(*refs):
         i = 0
         x_ref = refs[i]; i += 1                     # (1, 1, n_s, Kc, CHs)
-        w_ref = refs[i]; i += 1                     # (1, 9, Co, Kc)
+        w_ref = refs[i]; i += 1    # (1, 9, Co, Kc) | im2col: (1, Co, 9*Kc)
         if has_ln:
             g_ref = refs[i]; i += 1                 # (Co, 1)
             b_ref = refs[i]; i += 1                 # (Co, 1)
         if has_res:
             r_ref = refs[i]; i += 1                 # (1, n_s, Co, CH)
-        out_ref = refs[i]                           # (1, n_s, Co, CH)
+        out_ref = refs[i]; i += 1                   # (1, n_s, Co, CH)
+        col_ref = refs[i] if im2col else None       # (9*Kc, CH) scratch
 
         k = pl.program_id(1)
 
@@ -85,7 +97,7 @@ def _make_kernel(n_k: int, Wp: int, n_s: int, CH: int, has_ln: bool,
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        def conv_chunk(i, _):
+        def conv_chunk_taps(i, _):
             acc = None
             for dy in range(3):
                 for dx in range(3):
@@ -103,7 +115,25 @@ def _make_kernel(n_k: int, Wp: int, n_s: int, CH: int, has_ln: bool,
                 out_ref[0, i] = acc
             return 0
 
-        jax.lax.fori_loop(0, n_s, conv_chunk, 0, unroll=False)
+        def conv_chunk_im2col(i, _):
+            for j in range(9):
+                o = (j // 3) * Wp + (j % 3)
+                col_ref[j * kc:(j + 1) * kc] = \
+                    x_ref[0, 0, i, :, o:o + CH]
+            acc = mm(w_ref[0], col_ref[...])
+
+            @pl.when(k != 0)
+            def _():
+                out_ref[0, i] = out_ref[0, i] + acc
+
+            @pl.when(k == 0)
+            def _():
+                out_ref[0, i] = acc
+            return 0
+
+        jax.lax.fori_loop(0, n_s,
+                          conv_chunk_im2col if im2col else conv_chunk_taps,
+                          0, unroll=False)
 
         if has_ln or act is not None or has_res:
             @pl.when(k == n_k - 1)
@@ -152,14 +182,15 @@ def _finish(y: jnp.ndarray, H: int, W: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "fast", "k_chunk", "interpret", "out_dtype"))
+    static_argnames=("act", "fast", "k_chunk", "interpret", "out_dtype",
+                     "im2col"))
 def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
                    ln_scale: Optional[jnp.ndarray] = None,
                    ln_bias: Optional[jnp.ndarray] = None,
                    residual: Optional[jnp.ndarray] = None,
                    *, act: Optional[str] = None, fast: bool = True,
                    k_chunk: int = 256, interpret: bool = False,
-                   out_dtype=None) -> jnp.ndarray:
+                   out_dtype=None, im2col: bool = False) -> jnp.ndarray:
     """Fused y = act(LN(conv3x3(x))) [+ residual].
 
     x: (B, H, W, Cin) NHWC; w: (3, 3, Cin, Cout) HWIO (flax layout, no
@@ -200,7 +231,8 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
         pieces = [
             conv3x3_ln_act(x, w[..., c0:min(c0 + co_b, Co)],
                            act=None, fast=fast, k_chunk=k_chunk,
-                           interpret=interpret, out_dtype=jnp.float32)
+                           interpret=interpret, out_dtype=jnp.float32,
+                           im2col=im2col)
             for c0 in range(0, Co, co_b)]
         y = jnp.concatenate(pieces, axis=-1)
         if has_ln or act is not None or residual is not None:
@@ -230,14 +262,27 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
                    axis=2)                       # (B, nk, ns, kc, CHs)
     w9 = jnp.transpose(w.astype(tap_dt), (0, 1, 3, 2))
     w9 = w9.reshape(9, Co, n_k, kc).transpose(2, 0, 1, 3)  # (nk, 9, Co, kc)
+    # sublane alignment for the scratch stores: copy j lands at sublane
+    # offset j*kc, which must sit on the (bf16: 16 / f32: 8)-row tile
+    use_im2col = im2col and kc % (16 if fast else 8) == 0
 
     in_specs = [
         pl.BlockSpec((1, 1, n_s, kc, CHs), lambda b, k: (b, k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 9, Co, kc), lambda b, k: (k, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    args = [xs, w9]
+    if use_im2col:
+        # (nk, Co, 9*kc): row c holds the 9 tap rows contiguously in the
+        # scratch's gather order (j-major), one wide contraction per chunk
+        wik = jnp.transpose(w9, (0, 2, 1, 3)).reshape(n_k, Co, 9 * kc)
+        in_specs.append(pl.BlockSpec((1, Co, 9 * kc),
+                                     lambda b, k: (k, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args = [xs, wik]
+    else:
+        in_specs.append(pl.BlockSpec((1, 9, Co, kc),
+                                     lambda b, k: (k, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args = [xs, w9]
     if has_ln:
         in_specs += [
             pl.BlockSpec((Co, 1), lambda b, k: (0, 0),
@@ -258,7 +303,8 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
         args.append(rt)
 
     kernel = _make_kernel(n_k, Wp, n_s, CH, has_ln, act,
-                          residual is not None, fast)
+                          residual is not None, fast,
+                          im2col=use_im2col, kc=kc)
 
     y = pl.pallas_call(
         kernel,
@@ -267,6 +313,8 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec((1, n_s, Co, CH), lambda b, k: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_s, Co, CH), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((9 * kc, CH), tap_dt)]
+                        if use_im2col else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,

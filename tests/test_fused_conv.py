@@ -39,6 +39,15 @@ def test_kernel_matches_reference(act, ci):
                            k_chunk=128)
     np.testing.assert_allclose(np.asarray(got32), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+    # the im2col formulation (one wide dot per chunk over a gathered
+    # (9*kc, CH) scratch) computes the same multiplies as the taps
+    # formulation; only the contraction ORDER differs (one 9*kc-long sum
+    # vs 9 accumulated kc-long dots), so agreement is to f32
+    # reassociation (measured 7e-7 max at these shapes)
+    got_ik = conv3x3_ln_act(x, w, g, b, act=act, fast=True, interpret=True,
+                            k_chunk=128, im2col=True)
+    np.testing.assert_allclose(np.asarray(got_ik), np.asarray(got),
+                               atol=5e-6, rtol=1e-5)
 
 
 def test_kernel_residual():

@@ -95,6 +95,39 @@ def bench_pyramid():
     return out
 
 
+def bench_conv_kernel():
+    """taps vs im2col fused-conv kernel at the model's hot link shapes
+    (slope method; r4 kernel work — see ops/fused_conv.py:_make_kernel).
+    Also times the XLA formulation of the same link for the floor."""
+    from gwdepth_tpu.ops.fused_conv import (conv3x3_ln_act,
+                                            conv3x3_ln_act_reference)
+    out = {}
+    for tag, (H, W, Ci, Co) in {
+            "1/4 160->160": (176, 256, 160, 160),
+            "1/4 80->80": (176, 256, 80, 80),
+            "1/4 eval 192x256 160": (192, 256, 160, 160),
+            "1/8 300->160": (88, 128, 300, 160)}.items():
+        x = jax.random.normal(jax.random.PRNGKey(_seed()), (1, H, W, Ci))
+        w = jax.random.normal(jax.random.PRNGKey(_seed() ^ 3),
+                              (3, 3, Ci, Co)) * 0.05
+        g = jnp.ones((Co,))
+        b = jnp.zeros((Co,))
+        row = {}
+        for mode, fn in {
+                "taps": lambda x, w: conv3x3_ln_act(
+                    x, w, g, b, act="gelu", im2col=False),
+                "im2col": lambda x, w: conv3x3_ln_act(
+                    x, w, g, b, act="gelu", im2col=True),
+                "xla": lambda x, w: conv3x3_ln_act_reference(
+                    x, w, g, b, act="gelu")}.items():
+            try:
+                row[mode] = round(timed_scan(fn, (x, w), n_rep=4) * 1e3, 3)
+            except Exception as e:
+                row[mode] = f"FAILED: {type(e).__name__}: {e}"[:100]
+        out[tag] = row
+    return out
+
+
 def bench_certain_sample():
     from gwdepth_tpu.models.points import certain_sample
     out = {}
@@ -469,6 +502,8 @@ def main():
         res["pyramid_ms"] = bench_pyramid()
     if "sample" in what:
         res["certain_sample_ms"] = bench_certain_sample()
+    if "conv" in what:
+        res["conv_kernel_ms"] = bench_conv_kernel()
     if "diffusion" in what:
         res["ref_diffusion_ms"] = bench_diffusion()
     if "fwd" in what:
