@@ -160,7 +160,14 @@ def seg_ce_loss(seg_logits: jnp.ndarray, seg_gt: jnp.ndarray) -> jnp.ndarray:
     """Plain CE over all pixels, matching the reference's unmasked
     nn.CrossEntropyLoss over the padded canvas (glassrgbd.py:376-383;
     padding trains as background, reference behavior kept deliberately).
-    seg_logits: (B, 2, H, W); seg_gt: (B, H, W) int."""
+    seg_logits: (B, 2, H, W); seg_gt: (B, H, W) int.
+
+    The per-pixel class pick is a one-hot multiply+sum, NOT
+    take_along_axis: the gather form lowered to a real 721k-index HLO
+    gather costing 8.8 ms/step on the v5e (r4 train trace, 6.5% of the
+    step); the one-hot form fuses into the surrounding elementwise ops."""
     logp = jax.nn.log_softmax(seg_logits.astype(jnp.float32), axis=1)
-    nll = -jnp.take_along_axis(logp, seg_gt[:, None], axis=1)[:, 0]
+    C = logp.shape[1]
+    onehot = (seg_gt[:, None] == jnp.arange(C)[None, :, None, None])
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
     return nll.mean()

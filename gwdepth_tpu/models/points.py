@@ -44,6 +44,13 @@ from gwdepth_tpu.ops.interpolate import (avg_pool_matmul_nhwc,
 from gwdepth_tpu.models.swin import TRUNC02, XAVIER
 
 
+def _use_tapdots() -> bool:
+    """XLA tap-dot conv formulation for the non-fused ConvLn path
+    (GW_TAPDOT=0 reverts to lax.conv for A/B)."""
+    import os
+    return os.environ.get("GW_TAPDOT", "1") == "1"
+
+
 # ---------------------------------------------------------------------------
 # certain sample
 # ---------------------------------------------------------------------------
@@ -186,12 +193,22 @@ class ConvLn(nn.Module):
             g, b = _LnParams(self.out, name="ln")()
             y = fused_conv_ln_act(x, w, g, b, self.fuse_act)
             return y + residual if residual is not None else y
-        pad = self.dilation if self.dilation > 1 else self.kernel // 2
-        x = nn.Conv(self.out, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)),
-                    kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False, kernel_init=XAVIER, name="conv")(x)
+        if (self.kernel, self.stride, self.dilation) == (3, 1, 1) and \
+                _use_tapdots():
+            # XLA tap-dot formulation: same param tree as nn.Conv, no
+            # conv-blocking relayouts in fwd or wgrad (the r4 train HLO
+            # carried 8.9 GB/step of copies around the native conv
+            # lowering — see ops/fused_conv.py:conv3x3_tapdots)
+            from gwdepth_tpu.ops.fused_conv import conv3x3_tapdots
+            w = _ConvKernel((3, 3, x.shape[-1], self.out), name="conv")()
+            x = conv3x3_tapdots(x, w)
+        else:
+            pad = self.dilation if self.dilation > 1 else self.kernel // 2
+            x = nn.Conv(self.out, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=((pad, pad), (pad, pad)),
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, kernel_init=XAVIER, name="conv")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
         if self.fuse_act == "gelu":
             x = nn.gelu(x, approximate=False)

@@ -324,6 +324,16 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     return out.astype(out_dtype or x.dtype)
 
 
+# Model-path default for the im2col kernel formulation (see _make_kernel);
+# measured in-model on the v5e eval forward: 38.94 ms/img (im2col) vs
+# 40.06 (taps) with an unchanged 39.5 ms XLA control in both processes —
+# default ON.  GW_IM2COL=0 flips the fused serving/training path back for
+# A/B runs without touching call sites.  Read once at import: jit retrace
+# caches key on the traced graph, so a mid-process flip would not apply.
+import os as _os
+IM2COL_DEFAULT = _os.environ.get("GW_IM2COL", "1") == "1"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_conv_ln_act(x, w, ln_scale, ln_bias, act):
     """Differentiable fused conv+LN+act: Pallas forward (bf16 taps, f32
@@ -332,7 +342,7 @@ def fused_conv_ln_act(x, w, ln_scale, ln_bias, act):
     runs in interpret mode, so the op works everywhere."""
     interp = jax.default_backend() != "tpu"
     return conv3x3_ln_act(x, w, ln_scale, ln_bias, act=act, fast=True,
-                          interpret=interp)
+                          interpret=interp, im2col=IM2COL_DEFAULT)
 
 
 def _fused_fwd(x, w, ln_scale, ln_bias, act):
@@ -361,7 +371,7 @@ def _fused_bwd(act, res, ct):
     interp = jax.default_backend() != "tpu"
     f32 = jnp.float32
     c = conv3x3_ln_act(x, w, act=None, fast=True, interpret=interp,
-                       out_dtype=f32)                      # (B,H,W,Co) f32
+                       out_dtype=f32, im2col=IM2COL_DEFAULT)  # (B,H,W,Co) f32
     if g is None:
         # no LayerNorm in the forward — the pre-activation is the conv
         dn = ct.astype(f32) * _act_grad_at(act, c)
@@ -384,7 +394,8 @@ def _fused_bwd(act, res, ct):
     # dx: conv with the rotated, io-transposed kernel
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))    # (3,3,Co,Ci)
     dx = conv3x3_ln_act(dc, w_flip.astype(f32), act=None, fast=True,
-                        interpret=interp, out_dtype=f32)
+                        interpret=interp, out_dtype=f32,
+                        im2col=IM2COL_DEFAULT)
 
     # dw[ky,kx,ci,co] = sum_{b,y,x} xpad[b,y+ky-1,x+kx-1,ci] * dc[b,y,x,co]
     B, H, W, _ = x.shape
@@ -399,6 +410,31 @@ def _fused_bwd(act, res, ct):
 
 
 fused_conv_ln_act.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv3x3_tapdots(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """3x3/stride-1/SAME conv as 9 shifted-slice einsums (pure XLA).
+
+    Why: XLA-TPU's native conv lowering re-blocks activations into its
+    internal [H, 8, ceil(W/8)+halo, C] spatial-blocked layout around BOTH
+    the forward conv and (worse) the weight-grad — the r4 train-step HLO
+    carries 1582 copies totaling 8.9 GB/step, dominated by these conv
+    relayouts in the PyramidLayer chains (f32[176,8,33,C] / bf16[...800]
+    shapes, ~10.8 ms at HBM bandwidth).  Expressed as tap einsums the
+    forward is 9 plain dots on NHWC slices (no relayout), and autodiff
+    produces dw = activation^T @ grad contractions with K = B*H*W (MXU
+    pass-efficient and copy-free) instead of conv-wgrad relayouts.
+    Numerics: identical multiplies, f32-accumulated dots; the tap sum
+    reassociates vs the native conv exactly like the Pallas kernel does."""
+    B, H, W, Ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = None
+    for dy in range(3):
+        for dx in range(3):
+            t = jnp.einsum("bhwc,cd->bhwd", xp[:, dy:dy + H, dx:dx + W],
+                           w[dy, dx], preferred_element_type=jnp.float32)
+            y = t if y is None else y + t
+    return y
 
 
 def conv3x3_ln_act_reference(x, w, ln_scale=None, ln_bias=None,

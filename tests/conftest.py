@@ -21,9 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 # compile large XLA-CPU programs serially; without the cache EVERY pytest
 # run recompiles them from scratch (90-110 min suite on this 1-core box).
 # Keyed on program+flags+topology, so entries are exact-hit only.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# GWDEPTH_JAX_CACHE=0 disables (cold-timing / debugging cache suspicion).
+if os.environ.get("GWDEPTH_JAX_CACHE", "1") != "0":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
