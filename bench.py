@@ -181,7 +181,7 @@ def _flops(compiled) -> float:
         return 0.0
 
 
-def bench_eval_fwd(seed: int, flops: float | None):
+def bench_eval_fwd(seed: int, flops: float | None, batch: int = 1):
     from gwdepth_tpu.models import GlassRGBD
 
     cfg = _eval_cfg()
@@ -191,12 +191,12 @@ def bench_eval_fwd(seed: int, flops: float | None):
     # a fixed-seed benchmark replayed by the driver would report cache
     # lookups, not compute. (Eval fwd was verified memo-free, fresh ==
     # repeat — the entropy seed keeps that guarantee cheap and permanent.)
-    n_windows, n_iters = 3, 20
+    n_windows, n_iters = (3, 20) if batch == 1 else (3, 8)
     total = n_windows * n_iters
     inputs = [jax.random.normal(jax.random.PRNGKey(seed + i),
-                                (1, *cfg.eval_hw, 3), jnp.float32)
+                                (batch, *cfg.eval_hw, 3), jnp.float32)
               for i in range(total + 2)]
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs[0])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), inputs[0][:1])
 
     @jax.jit
     def fwd(images, csum_in):
@@ -230,7 +230,7 @@ def bench_eval_fwd(seed: int, flops: float | None):
         # Pulling the CHAINED csum is the transitive barrier for all
         # n_iters programs in this window.
         float(jax.device_get(csum))
-        wins.append(n_iters / (time.perf_counter() - t0))
+        wins.append(batch * n_iters / (time.perf_counter() - t0))
     ips, med = max(wins), statistics.median(wins)
     return ips, med, (flops * ips / PEAK_FLOPS if flops else None)
 
@@ -326,12 +326,19 @@ def _probe_tunnel(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def _wait_for_tunnel(budget_minutes: float = 10.0) -> bool:
+def _wait_for_tunnel(budget_minutes: float = 10.0) -> dict | None:
     """Probe until the tunnel answers or the budget runs out.  The budget
     is deliberately SHORT (r2's 35-min budget consumed the entire driver
     window before a single JSON line): better to abort early and leave a
-    clear non-result than to time out silently."""
-    deadline = time.monotonic() + budget_minutes * 60.0
+    clear non-result than to time out silently.
+
+    Returns a tunnel-health dict for the JSON lines (VERDICT r4 #4: a
+    wedge-tainted headline must be self-identifying): number of probes
+    needed, total seconds spent probing, and a `tunnel_degraded` flag when
+    recovery probes were required (numbers from such a run start from a
+    tunnel that was recently wedged and may read low)."""
+    t0 = time.monotonic()
+    deadline = t0 + budget_minutes * 60.0
     attempt = 0
     while True:
         attempt += 1
@@ -339,9 +346,13 @@ def _wait_for_tunnel(budget_minutes: float = 10.0) -> bool:
             if attempt > 1:
                 print(f"bench.py: tunnel answered on probe {attempt}",
                       file=sys.stderr, flush=True)
-            return True
+            health = {"tunnel_probes": attempt,
+                      "tunnel_probe_secs": round(time.monotonic() - t0, 1)}
+            if attempt > 1:
+                health["tunnel_degraded"] = True
+            return health
         if time.monotonic() > deadline:
-            return False
+            return None
         print(f"bench.py: tunnel probe {attempt} hung — wedged? "
               "waiting 60 s before retry", file=sys.stderr, flush=True)
         time.sleep(60.0)
@@ -372,12 +383,14 @@ def main():
         print(_arch_hash(_eval_cfg(check_backend=False)))
         return
     seed = int.from_bytes(os.urandom(8), "little") % (2 ** 31)
-    if not _wait_for_tunnel():
+    health = _wait_for_tunnel()
+    if health is None:
         print("bench.py: tunnel never answered within the probe budget — "
               "aborting without a JSON line", file=sys.stderr, flush=True)
         raise SystemExit(3)
 
     eval_flops, extra = resolve_eval_flops()
+    extra.update(health)
 
     # EVAL FIRST: completes in minutes even on a mid tunnel; its JSON line
     # is flushed before the slow train phase starts.
@@ -395,6 +408,23 @@ def main():
     })
     print(headline, flush=True)
 
+    # BATCHED SERVING headline (VERDICT r4 #7): per-image device compute
+    # is flat vs batch (trace-verified), so bs=4 shows the serving
+    # throughput the dispatch-bound bs=1 number hides.
+    wd = _watchdog(10.0, "eval-bs4")
+    b_ips, b_med, b_mfu = bench_eval_fwd(seed + 1_000_003, eval_flops,
+                                         batch=4)
+    wd.cancel()
+    print(json.dumps({
+        "metric": "eval_forward_images_per_sec_768x1024_bs4",
+        "value": round(b_ips, 3),
+        "median": round(b_med, 3),
+        "unit": "images/sec",
+        "mfu": round(b_mfu, 4) if b_mfu else None,
+        "vs_baseline": round(b_ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
+        **health,
+    }), flush=True)
+
     wd = _watchdog(18.0, "train")
     tr_ips, tr_med, tr_mfu = bench_train_step(seed)
     wd.cancel()
@@ -405,6 +435,7 @@ def main():
         "unit": "images/sec",
         "ms_per_step": round(1000.0 / tr_ips, 1),
         "mfu": round(tr_mfu, 4) if tr_mfu else None,
+        **health,
     }), flush=True)
     # the driver parses the LAST JSON line — keep the eval headline there
     print(headline, flush=True)

@@ -44,11 +44,16 @@ from gwdepth_tpu.ops.interpolate import (avg_pool_matmul_nhwc,
 from gwdepth_tpu.models.swin import TRUNC02, XAVIER
 
 
+# XLA tap-dot conv formulation for the non-fused ConvLn path (GW_TAPDOT=0
+# reverts to lax.conv for A/B).  Read once at import (ADVICE r4): jit
+# retrace caches key on the traced graph, so a mid-process flip would only
+# apply to not-yet-traced modules and silently mix A/B measurements.
+import os as _os
+TAPDOT_DEFAULT = _os.environ.get("GW_TAPDOT", "1") == "1"
+
+
 def _use_tapdots() -> bool:
-    """XLA tap-dot conv formulation for the non-fused ConvLn path
-    (GW_TAPDOT=0 reverts to lax.conv for A/B)."""
-    import os
-    return os.environ.get("GW_TAPDOT", "1") == "1"
+    return TAPDOT_DEFAULT
 
 
 # ---------------------------------------------------------------------------

@@ -121,7 +121,13 @@ def _scanline_fill(h: int, w: int, side_px: np.ndarray, side_depth: np.ndarray,
             sel = xs[np.abs(xs - uc[0]) <= 1]
             out[r, sel] = ud[0]
             continue
-        out[r, xs] = np.interp(xs, uc, ud)
+        # interpolate ONLY within the crossing span: np.interp's clamped
+        # extrapolation would paint a flat (wrong-for-slanted-panes) value
+        # over interior pixels the row's samples don't bracket (e.g. rows
+        # crossed by a near-horizontal edge whose samples stop mid-row);
+        # the vertical pass closes what's left (interior-fill oracle test)
+        span = xs[(xs >= uc[0]) & (xs <= uc[-1])]
+        out[r, span] = np.interp(span, uc, ud)
     return out
 
 
@@ -138,7 +144,19 @@ def _fill_column_gaps(fill: np.ndarray, mask: np.ndarray) -> np.ndarray:
         src = np.nonzero(fill[:, c] > 0)[0]
         if len(src) == 0:
             continue
+        # within-span only (same no-flat-extrapolation rule as the row
+        # pass); a final cleanup handles the unbracketed leftovers
+        ys = ys[(ys >= src[0]) & (ys <= src[-1])]
         out[ys, c] = np.interp(ys, src, fill[src, c])
+    # leftover zeros inside the mask (pixels no row/column span brackets,
+    # only near corners): row-interpolate from the now-dense fill
+    rest_r, rest_c = np.nonzero(mask & (out <= 0))
+    for r in np.unique(rest_r):
+        src = np.nonzero(out[r] > 0)[0]
+        if len(src) < 2:
+            continue
+        cs = rest_c[rest_r == r]
+        out[r, cs] = np.interp(cs, src, out[r, src])
     return out
 
 
@@ -178,14 +196,23 @@ def complete_polygon_depth(raw_depth_mm: np.ndarray, vertices: np.ndarray,
     side_d = np.concatenate(side_d)
 
     mask = polygon_mask(verts, h, w)
+    # Interpolate in INVERSE depth: for a planar pane 1/Z is affine in
+    # pixel coords, so linear scanline interpolation of disparity is
+    # EXACT where the reference's 3D chord walk (calculate_region_depth,
+    # :168-206) is also exact — linear-in-Z interpolation carries a
+    # reciprocal-curvature error (measured 30 mm RMSE on a 0.25-slope
+    # pane vs 0.4 mm for the reference; disparity interpolation matches
+    # it — tests/test_reference_parity_toolchain.py interior-fill oracle).
+    side_disp = np.where(side_d > 0, 1.0 / np.maximum(side_d, 1e-9), 0.0)
     # both sweep directions, fused first-nonzero-wins (fuse_region_depth)
-    fill_a = _scanline_fill(h, w, side_px, side_d, mask)
-    fill_b = _scanline_fill(h, w, side_px[::-1], side_d[::-1], mask)
+    fill_a = _scanline_fill(h, w, side_px, side_disp, mask)
+    fill_b = _scanline_fill(h, w, side_px[::-1], side_disp[::-1], mask)
     fill = np.where(fill_a > 0, fill_a, fill_b)
     # the 3D side stepping can skip pixel rows (6mm ≈ several px at range);
     # close the gaps with a vertical interpolation pass per column — the
     # reference's scattered-point interp2d has the same effect (:216-234)
     fill = _fill_column_gaps(fill, mask)
+    fill = np.where(fill > 0, 1.0 / np.maximum(fill, 1e-9), 0.0)
 
     out = raw_depth_mm.astype(np.float32).copy()
     write = mask & (fill > 0)

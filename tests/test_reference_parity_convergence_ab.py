@@ -15,11 +15,22 @@ frameworks to be interchangeable on real data is:
 1. both LEARN: late-window train loss well below the early window, and
    end eval RMSE/mIoU far better than an untrained model on this data;
 2. both land in the SAME basin: end eval depth metrics within loose
-   statistical tolerance of each other, seg IoU within a few points.
+   statistical tolerance of each other, seg IoU within a few points;
+3. the LINE head learns too (VERDICT r4 #3): held-out sAP via the npz
+   dump contract + the ported sAP pipeline
+   (evaluation/eval-sAP-glassrgbd.py:34-87), computed identically for
+   both frameworks' predictions, must improve over the shared init and
+   agree between frameworks within loose tolerance.
 
 This is the closest available proxy to the real-data north star
 (BASELINE.md; reference loop: src/main_glassrgbd.py:193-237) on a box
 with no GW-Depth dataset.
+
+NOTE ON SEED SENSITIVITY (ADVICE r4): after N_STEPS chaotically
+divergent steps the basin assertions are statistical, not exact — a
+tolerance trip on a different BLAS/platform should first be re-run with
+a new `rng` seed (line ~95) before being treated as a parity break.
+The test is marked `slow` (it trains 2x100 steps, ~25 min here).
 """
 
 from __future__ import annotations
@@ -83,6 +94,47 @@ def _scene(rng: np.random.Generator):
     return img, depth, seg.astype(np.int64)[None], ln6[None]
 
 
+def _dump_gt_npz(gt_dir, eval_samples):
+    """Held-out GT lines in the offline sAP contract: lpos (M, 2, 2) in
+    yx order on the 128-grid (eval-sAP-glassrgbd.py:34-60)."""
+    import os
+    os.makedirs(gt_dir, exist_ok=True)
+    for i, (_img, _d, _s, lines) in enumerate(eval_samples):
+        px = lines[0][:, :4] * np.array([W, H, W, H])
+        ln = px.reshape(-1, 2, 2)[:, :, ::-1].astype(np.float64)
+        ln[:, :, 0] *= 128.0 / H
+        ln[:, :, 1] *= 128.0 / W
+        np.savez(os.path.join(gt_dir, f"{i:03d}.npz"), lpos=ln)
+
+
+def _sap_of_ref(model_t, ref, eval_samples, pred_dir):
+    """Reference-model line predictions -> npz dumps (the same
+    dump_benchmark_npz contract both frameworks share) -> files."""
+    import os
+    from gwdepth_tpu.evaluation.line_metrics import dump_benchmark_npz
+    os.makedirs(pred_dir, exist_ok=True)
+    model_t.eval()
+    with torch.no_grad():
+        for i, (img, _d, _s, _l) in enumerate(eval_samples):
+            nt = ref.misc.NestedTensor(
+                nchw(img), torch.zeros((B, H, W), dtype=torch.bool))
+            out = model_t(nt)
+            dump_benchmark_npz(
+                pred_dir, f"{i:03d}", out["pred_logits"][0].numpy(),
+                out["pred_lines"][0].numpy(), (H, W))
+
+
+def _sap_of_ours(line_dumps, pred_dir):
+    import os
+    from gwdepth_tpu.evaluation.line_metrics import dump_benchmark_npz
+    os.makedirs(pred_dir, exist_ok=True)
+    for i, d in enumerate(line_dumps):
+        dump_benchmark_npz(pred_dir, f"{i:03d}",
+                           np.asarray(d["pred_logits"]),
+                           np.asarray(d["pred_lines"]), (H, W))
+
+
+@pytest.mark.slow
 def test_convergence_ab(ref, tmp_path):
     cfg = _cfg()
     args = make_ref_args(cfg, coco_path=None, append_word=None,
@@ -143,6 +195,16 @@ def test_convergence_ab(ref, tmp_path):
     assert cov == total_n, f"uncovered {len(missing)}/{total_n}"
     params = merge_params(params, overlay)
 
+    eval_step_j = make_eval_step(cfg, m)
+    eval_loader = _OurEvalLoader(cfg, eval_samples)
+    gt_dir = str(tmp_path / "sap_gt")
+    _dump_gt_npz(gt_dir, eval_samples)
+    # held-out sAP of the SHARED initial weights (both frameworks start
+    # from exactly these) — the floor the trained line heads must beat
+    init_stats = evaluate(cfg, params, eval_step_j, eval_loader,
+                          collect_lines=True)
+    _sap_of_ours(init_stats.pop("line_dumps"), str(tmp_path / "sap_init"))
+
     state = create_train_state(cfg, params, steps_per_epoch=1)
     step_fn = make_train_step(cfg, m)
 
@@ -161,8 +223,10 @@ def test_convergence_ab(ref, tmp_path):
         state, logs = step_fn(state, batch, jax.random.PRNGKey(i))
         losses_j.append(float(logs[step_fn.log_keys.index("loss")]))
 
-    stats_j = evaluate(cfg, state.params, make_eval_step(cfg, m),
-                       _OurEvalLoader(cfg, eval_samples))
+    stats_j = evaluate(cfg, state.params, eval_step_j, eval_loader,
+                       collect_lines=True)
+    _sap_of_ours(stats_j.pop("line_dumps"), str(tmp_path / "sap_ours"))
+    _sap_of_ref(model_t, ref, eval_samples, str(tmp_path / "sap_ref"))
 
     # ---- 1. both frameworks LEARNED on this data
     early_t, late_t = np.mean(losses_t[:10]), np.mean(losses_t[-10:])
@@ -198,3 +262,23 @@ def test_convergence_ab(ref, tmp_path):
                          ("pixel_accuracy", "Pixel accuracy")]:
         np.testing.assert_allclose(stats_j[ours], stats_t[theirs],
                                    atol=6.0, err_msg=f"seg {ours}")
+
+    # ---- 3. the LINE head learns, and comparably (VERDICT r4 #3):
+    # held-out sAP through the shared npz-dump + sap_score pipeline
+    # (evaluation/eval-sAP-glassrgbd.py:34-87 semantics)
+    from gwdepth_tpu.evaluation.line_metrics import sap_score
+    sap_init = sap_score(str(tmp_path / "sap_init"), gt_dir)
+    sap_ours = sap_score(str(tmp_path / "sap_ours"), gt_dir)
+    sap_ref = sap_score(str(tmp_path / "sap_ref"), gt_dir)
+    print(f"sAP5/10/15 init {[round(sap_init[t], 2) for t in (5, 10, 15)]}"
+          f" ours {[round(sap_ours[t], 2) for t in (5, 10, 15)]}"
+          f" ref {[round(sap_ref[t], 2) for t in (5, 10, 15)]}")
+    # both trained line heads must clearly beat the shared-init floor at
+    # the loosest threshold (learning), and agree loosely (same basin;
+    # sAP after a short run is noisy — tolerance is wide by design)
+    assert sap_ours[15] > sap_init[15] + 2.0, (sap_ours, sap_init)
+    assert sap_ref[15] > sap_init[15] + 2.0, (sap_ref, sap_init)
+    for t in (5, 10, 15):
+        np.testing.assert_allclose(
+            sap_ours[t], sap_ref[t], atol=max(15.0, 0.5 * sap_ref[t]),
+            err_msg=f"sAP{t}")

@@ -23,9 +23,11 @@ import pytest
 
 from reference_harness import get_ref_toolchain
 
-from gwdepth_tpu.tools.depth_completion import (Intrinsics, deproject,
+from gwdepth_tpu.tools.depth_completion import (Intrinsics,
+                                                complete_polygon_depth,
+                                                deproject,
                                                 interpolate_side_points,
-                                                project)
+                                                polygon_mask, project)
 
 
 @pytest.fixture(scope="module")
@@ -114,3 +116,75 @@ def test_calculate_sides_depth_vs_reference(reft):
                                    err_msg=f"side {sid} pixels")
         np.testing.assert_allclose(ref_px[0], vertex_px[sid], rtol=1e-12)
         np.testing.assert_allclose(ref_pts[0], pts_mm[sid], rtol=1e-12)
+
+
+def test_interior_fill_vs_reference_on_plane(reft):
+    """Oracle-compare the INTERIOR fill (VERDICT r4 weak #5 / next #6).
+
+    The reference fills a polygon's interior with the all-pairs line walk
+    `calculate_region_depth` (depth_interpolation.py:168-206): sampled
+    side points x every side point, 3D chord interpolation at milli_step,
+    per-pixel running average.  Ours is a vectorized scanline sweep
+    (tools/depth_completion.py:_scanline_fill).  On a PLANAR glass pane —
+    the physical case the toolchain exists for — every chord lies in the
+    plane, so both constructions must reproduce the same analytic depth
+    field; this pins our re-derivation to the reference numerically where
+    the two algorithms have a common ground truth.
+
+    Asserts, on the interior pixels both methods wrote:
+      * ref fill  ~= analytic plane
+      * our fill  ~= analytic plane, and not worse than 1.2x ref's RMSE
+      * our fill  ~= ref fill (direct parity on the overlap)
+    """
+    di = reft.depth_interpolation
+    intr_t, intr_m = _intrin(reft)
+
+    for a, b, c in [(0.0, 0.0, 3.0),          # fronto-parallel pane
+                    (0.25, -0.15, 3.2)]:      # slanted pane
+        # plane Z = a*X + b*Y + c (meters);  at pixel (u, v):
+        #   Z = c / (1 - a*(u-ppx)/fx - b*(v-ppy)/fy)
+        def plane_z(u, v):
+            return c / (1.0 - a * (u - intr_m.ppx) / intr_m.fx
+                        - b * (v - intr_m.ppy) / intr_m.fy)
+
+        vertex_px = np.array([[600.0, 330.0], [700.0, 335.0],
+                              [695.0, 410.0], [605.0, 405.0]])
+        vdepth_m = plane_z(vertex_px[:, 0], vertex_px[:, 1])
+        pts_mm = deproject(vertex_px, vdepth_m, intr_m) * 1000.0
+
+        # reference fill (milli_step widened 6->15 to keep the O(N^2)
+        # python walk tractable; coverage stays dense at this pane size)
+        sides_px_t, sides_pts_t = di.calculate_sides_depth(
+            list(vertex_px), list(pts_mm), intr_t, milli_step=15)
+        h, w = 720, 1280
+        ref_mat, _times = di.calculate_region_depth(
+            sides_px_t, sides_pts_t, intr_t,
+            compl_depth_mat=np.zeros((h, w), np.float64), milli_step=15)
+
+        ours = complete_polygon_depth(
+            np.zeros((h, w), np.float32), vertex_px, intr_m, step_mm=15.0,
+            vertex_depth_mm=vdepth_m * 1000.0)
+
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        truth_mm = plane_z(uu, vv) * 1000.0
+        # compare strictly interior (erode 2px): int() truncation scatters
+        # the reference's boundary writes
+        interior = polygon_mask(vertex_px, h, w).copy()
+        interior[:2] = interior[-2:] = False
+        er = interior.copy()
+        er[1:] &= interior[:-1]; er[:-1] &= interior[1:]
+        er[:, 1:] &= interior[:, :-1]; er[:, :-1] &= interior[:, 1:]
+        both = er & (ref_mat > 0) & (ours > 0)
+        assert both.sum() > 2000, both.sum()
+
+        rmse_ref = float(np.sqrt(((ref_mat - truth_mm)[both] ** 2).mean()))
+        rmse_our = float(np.sqrt(((ours - truth_mm)[both] ** 2).mean()))
+        rmse_ab = float(np.sqrt(((ours - ref_mat)[both] ** 2).mean()))
+        print(f"plane a={a} b={b}: rmse_ref={rmse_ref:.3f}mm "
+              f"rmse_ours={rmse_our:.3f}mm rmse_ours_vs_ref={rmse_ab:.3f}mm "
+              f"({int(both.sum())} px)")
+        # both reconstruct the pane to sub-centimeter accuracy; ours is
+        # equivalent-or-better (within 20%) and directly close to ref
+        assert rmse_ref < 10.0, rmse_ref
+        assert rmse_our < max(1.2 * rmse_ref, 2.0), (rmse_our, rmse_ref)
+        assert rmse_ab < 15.0, rmse_ab
