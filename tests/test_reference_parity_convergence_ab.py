@@ -265,19 +265,46 @@ def test_convergence_ab(ref, tmp_path):
 
     # ---- 3. the LINE head learns, and comparably (VERDICT r4 #3):
     # held-out sAP through the shared npz-dump + sap_score pipeline
-    # (evaluation/eval-sAP-glassrgbd.py:34-87 semantics)
+    # (evaluation/eval-sAP-glassrgbd.py:34-87 semantics), plus the
+    # held-out matched line-CE as the LEARNING signal.  Calibration runs
+    # showed 100 steps cannot reach the <4 px endpoint accuracy
+    # thresholded sAP5-15 demands (all three are 0.0 here — for the
+    # REFERENCE too; its published sAP comes from 300-epoch runs) and
+    # even held-out line-coordinate L1 does not yet improve (init 1.330
+    # -> ours 1.372 / ref 1.391, agreeing within 1.4%); what the
+    # Hungarian-matched head DOES learn this early is line
+    # CLASSIFICATION (which queries are lines): held-out loss_ce drops
+    # ~6% below the shared init for both frameworks.  So: loss_ce vs
+    # init proves learning, loss_line + sAP prove cross-framework
+    # agreement of the line branch.
     from gwdepth_tpu.evaluation.line_metrics import sap_score
     sap_init = sap_score(str(tmp_path / "sap_init"), gt_dir)
     sap_ours = sap_score(str(tmp_path / "sap_ours"), gt_dir)
     sap_ref = sap_score(str(tmp_path / "sap_ref"), gt_dir)
+    ce_floor = float(init_stats["loss_ce"])
+    ce_ours = float(stats_j["loss_ce"])
+    ce_ref = float(stats_t["loss_ce_unscaled"])
+    line_ours = float(stats_j["loss_line"])
+    line_ref = float(stats_t["loss_line_unscaled"])
     print(f"sAP5/10/15 init {[round(sap_init[t], 2) for t in (5, 10, 15)]}"
           f" ours {[round(sap_ours[t], 2) for t in (5, 10, 15)]}"
           f" ref {[round(sap_ref[t], 2) for t in (5, 10, 15)]}")
-    # both trained line heads must clearly beat the shared-init floor at
-    # the loosest threshold (learning), and agree loosely (same basin;
-    # sAP after a short run is noisy — tolerance is wide by design)
-    assert sap_ours[15] > sap_init[15] + 2.0, (sap_ours, sap_init)
-    assert sap_ref[15] > sap_init[15] + 2.0, (sap_ref, sap_init)
+    print(f"held-out loss_ce: init {ce_floor:.4f} ours {ce_ours:.4f} "
+          f"ref {ce_ref:.4f}; loss_line: init "
+          f"{float(init_stats['loss_line']):.4f} ours {line_ours:.4f} "
+          f"ref {line_ref:.4f}; cardinality ours "
+          f"{float(stats_j['cardinality_error']):.2f} (init "
+          f"{float(init_stats['cardinality_error']):.2f})")
+    # both trained line heads clearly beat the shared-init floor on the
+    # held-out matched classification loss (the line head LEARNED under
+    # each framework's optimizer + matcher)...
+    assert ce_ours < 0.97 * ce_floor, (ce_ours, ce_floor)
+    assert ce_ref < 0.97 * ce_floor, (ce_ref, ce_floor)
+    # ...and the line branch agrees between frameworks: held-out
+    # coordinate L1 and the sAP pipeline at every threshold (loose —
+    # sAP after a short run is noisy by construction)
+    np.testing.assert_allclose(line_ours, line_ref, rtol=0.15,
+                               err_msg="held-out line loss")
     for t in (5, 10, 15):
         np.testing.assert_allclose(
             sap_ours[t], sap_ref[t], atol=max(15.0, 0.5 * sap_ref[t]),
