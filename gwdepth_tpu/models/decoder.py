@@ -31,7 +31,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from gwdepth_tpu.models.swin import XAVIER, Mlp
-from gwdepth_tpu.ops.blockconv import block_conv, depth_to_space
+from gwdepth_tpu.ops.blockconv import (block_conv, block_conv_xcy,
+                                       depth_to_space, depth_to_space_mm)
 from gwdepth_tpu.ops.interpolate import resize_nearest_nhwc
 
 
@@ -113,8 +114,14 @@ class DensePrediction(nn.Module):
         w_c2 = _Kernel((3, 3, tC // 2, tC // 2), name=f"conv2_{branch}")()
         y = nn.elu(block_conv(y, w_c2, 2, u=1))
         w_head = _Kernel((3, 3, tC // 2, out_ch), name=head)()
-        y = block_conv(y, w_head, 2, u=1)                   # (B,2h,2w,4*out)
-        return depth_to_space(y, 2)
+        # final unblock via the (px, co, py)-ordered kernel + EXACT 0/1
+        # interleave matmul: the plain depth_to_space here is a
+        # tiny-granule transpose at out_ch=1/2 lanes, measured ~1.6 ms
+        # per forward across the two heads at 768x1024 (r5 profile);
+        # the matmul form runs on the MXU and the row interleave is a
+        # free reshape (ops/blockconv.py:depth_to_space_mm)
+        y = block_conv_xcy(y, w_head, 2, u=1)               # (B,2h,2w,4*out)
+        return depth_to_space_mm(y, 2)
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray, depth_pred4: jnp.ndarray,

@@ -97,6 +97,72 @@ def block_conv(x: jnp.ndarray, w: jnp.ndarray, s_out: int,
     Returns (B, h, w, s_out*s_out*co).
     """
     K = block_kernel(w, s_out, u)
+    # NOTE: lax.conv, deliberately.  A tap-einsum form (9 shifted NHWC
+    # dots, as ops/fused_conv.py:conv3x3_tapdots) was tried here to kill
+    # the ~0.8 ms/forward of conv-blocking copies the native lowering
+    # carries — but at these half/quarter-res pixel counts each tap dot
+    # round-trips the full activation through HBM and the measured tail
+    # went 5.2 -> 15.8 ms/forward.  The native conv keeps all 9 taps in
+    # VMEM; its relayout copies are the cheaper evil.
     return jax.lax.conv_general_dilated(
         x, K.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def block_conv_xcy(x: jnp.ndarray, w: jnp.ndarray, s_out: int,
+                   u: int = 1) -> jnp.ndarray:
+    """`block_conv` emitting (px, co, py)-ordered block channels — feed
+    its output to `depth_to_space_mm` for a relayout-free unblock."""
+    K = block_kernel_xcy(w, s_out, u)
+    return jax.lax.conv_general_dilated(
+        x, K.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def block_kernel_xcy(w: jnp.ndarray, s_out: int, u: int) -> jnp.ndarray:
+    """`block_kernel` with output block channels ordered (px, co, py)
+    instead of (py, px, co) — the order `depth_to_space_mm` consumes.
+    Pure trace-time einsum on the parameters; same math."""
+    A = jnp.asarray(_axis_map(s_out, u))
+    si = s_out // u
+    ci, co = w.shape[2], w.shape[3]
+    K = jnp.einsum("pkqr,PKQR,kKio->qQrRiPop", A, A, w)
+    return K.reshape(3, 3, si * si * ci, s_out * s_out * co)
+
+
+@functools.lru_cache(maxsize=None)
+def _w_interleave(w: int, s: int, C: int):
+    """0/1 matrix P[(j, dj, c), (x2, c')] with x2 = j*s + dj, c' = c:
+    contracting a (…, w, s, C) tensor against it interleaves the column
+    blocks (and carries channels along) in ONE MXU dot."""
+    P = np.zeros((w, s, C, w * s, C), np.float32)
+    j = np.arange(w)
+    for dj in range(s):
+        for c in range(C):
+            P[j, dj, c, j * s + dj, c] = 1.0
+    return P.reshape(w, s, C, w * s * C)
+
+
+def depth_to_space_mm(y: jnp.ndarray, s: int) -> jnp.ndarray:
+    """depth_to_space for block channels ordered (px, co, py) — pair with
+    `block_kernel_xcy` on the producing conv.
+
+    Rationale (r5 device profile): the final head-output d2s at C=1/2
+    runs as a tiny-granule transpose at ~3% of HBM bandwidth
+    (copy+reshape pairs totaling ~1.6 ms/forward at 768x1024).  With
+    channels ordered (dj, c, di), the column interleave is one EXACT 0/1
+    matmul (every output sums exactly one product, so f32 numerics are
+    bit-identical) whose operand layout already has di trailing — and
+    the row interleave then needs NO data movement at all:
+    (B, h, di, x2, c) flattens to (B, h*s, x2, c) row-major as-is.
+    """
+    B, h, w, C2 = y.shape
+    C = C2 // (s * s)
+    P = jnp.asarray(_w_interleave(w, s, C))
+    # contract (w, dj, c); di stays free and trails -> (B, h, di, x2*C)
+    y = y.reshape(B, h, w, s, C, s)
+    t = jax.lax.dot_general(
+        y, P, dimension_numbers=(((2, 3, 4), (0, 1, 2)), ((), ())))
+    # wait-free row interleave: (B, h, di, x2, C) -> (B, h*s, x2, C)
+    t = t.reshape(B, h, s, w * s, C)
+    return t.reshape(B, h * s, w * s, C)

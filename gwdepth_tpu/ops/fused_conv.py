@@ -54,6 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 from gwdepth_tpu.ops.mosaic_math import elu as _elu
 from gwdepth_tpu.ops.mosaic_math import gelu as _gelu
 
+# Co-split threshold for the fused conv's VMEM-resident output block
+# (see the guard in conv3x3_ln_act).  Read once at import, like
+# IM2COL_DEFAULT below: a mid-process flip would only affect
+# not-yet-traced call sites.
+import os as _os
+CO_SPLIT_BYTES = int(_os.environ.get("GW_CO_SPLIT_MB", "40")) * 1024 * 1024
+
 
 def _make_kernel(n_k: int, Wp: int, n_s: int, CH: int, has_ln: bool,
                  act: Optional[str], has_res: bool, fast: bool,
@@ -215,11 +222,14 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     # The whole (Co, Sp) f32 output block lives in VMEM across the K
     # grid; past ~40 MB (the 800->320 SPP merge = 65 MB, the backward's
     # 320->800 dx conv = 170 MB) it cannot coexist with the
-    # double-buffered slabs. Split the conv over Co into kernel-sized
-    # pieces (conv only) and run any LN/act epilogue in XLA — LN
-    # reduces over ALL channels, so it cannot split.
-    if Co * Sp * 4 > 40 * 1024 * 1024:
-        co_b = max(128, (40 * 1024 * 1024 // (Sp * 4)) // 128 * 128)
+    # double-buffered slabs (measured: a 65 MB out block compiles to a
+    # 134 MB VMEM program and the chip has 128). Split the conv over Co
+    # into kernel-sized pieces (conv only) and run any LN/act epilogue
+    # in XLA — LN reduces over ALL channels, so it cannot split.  No
+    # ACTIVE eval-path site splits (the 1/4 pyramid is Co=160 = 32 MB);
+    # this governs the SPP merges and the backward dx convs.
+    if Co * Sp * 4 > CO_SPLIT_BYTES:
+        co_b = max(128, (CO_SPLIT_BYTES // (Sp * 4)) // 128 * 128)
         if co_b >= Co:
             # even a single kernel-sized Co piece exceeds the VMEM budget
             # (Sp too large) — splitting cannot shrink it, and recursing
