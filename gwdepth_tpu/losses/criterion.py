@@ -160,12 +160,23 @@ def seg_ce_loss(seg_logits: jnp.ndarray, seg_gt: jnp.ndarray) -> jnp.ndarray:
     """Plain CE over all pixels, matching the reference's unmasked
     nn.CrossEntropyLoss over the padded canvas (glassrgbd.py:376-383;
     padding trains as background, reference behavior kept deliberately).
-    seg_logits: (B, 2, H, W); seg_gt: (B, H, W) int.
+    seg_logits: (B, 2, H, W) NCHW or (B, H, W, 2) NHWC (class axis
+    inferred from which axis has the small extent); seg_gt: (B, H, W)
+    int.  The NHWC form exists so the train step can feed the decoder's
+    native layout straight in — the boundary transpose to NCHW
+    re-materialized pred_seg and its cotangent (a ~1 ms/step
+    log_softmax-backward relayout in the r5 train trace).
 
     The per-pixel class pick is a one-hot multiply+sum, NOT
     take_along_axis: the gather form lowered to a real 721k-index HLO
     gather costing 8.8 ms/step on the v5e (r4 train trace, 6.5% of the
     step); the one-hot form fuses into the surrounding elementwise ops."""
+    if seg_logits.shape[1] == seg_gt.shape[1]:         # NHWC
+        logp = jax.nn.log_softmax(seg_logits.astype(jnp.float32), axis=-1)
+        C = logp.shape[-1]
+        onehot = (seg_gt[..., None] == jnp.arange(C))
+        nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
+        return nll.mean()
     logp = jax.nn.log_softmax(seg_logits.astype(jnp.float32), axis=1)
     C = logp.shape[1]
     onehot = (seg_gt[:, None] == jnp.arange(C)[None, :, None, None])

@@ -60,8 +60,10 @@ def compute_losses(cfg: GWDepthConfig, outputs: Dict, batch: Batch
             cfg.depth_loss_weights, cfg.variance_focus)
         for name, l in zip(("1_16", "1_8", "1_4", "1"), per_scale):
             logs[f"loss_depth_{name}"] = l
-        seg_logits = outputs["pred_seg"].transpose(0, 3, 1, 2)
-        loss_seg = seg_ce_loss(seg_logits, batch.seg) * cfg.seg_loss_weight
+        # NHWC straight from the decoder — see seg_ce_loss on why no
+        # transpose here
+        loss_seg = seg_ce_loss(outputs["pred_seg"], batch.seg) \
+            * cfg.seg_loss_weight
         logs["loss_seg"] = loss_seg
         total = total + loss_depth + loss_seg
 

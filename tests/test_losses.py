@@ -108,3 +108,12 @@ def test_multiscale_depth_loss_runs():
     total, per = multiscale_depth_loss(preds, gt, valid,
                                        weights=(0.25, 0.25, 0.25, 1.0))
     assert len(per) == 4 and np.isfinite(float(total))
+
+
+def test_seg_ce_nhwc_form_matches_nchw():
+    logits = RNG.normal(size=(2, 2, 9, 9)).astype(np.float32)
+    gt = (RNG.uniform(size=(2, 9, 9)) > 0.5).astype(np.int64)
+    a = float(seg_ce_loss(jnp.asarray(logits), jnp.asarray(gt)))
+    b = float(seg_ce_loss(jnp.asarray(logits.transpose(0, 2, 3, 1)),
+                          jnp.asarray(gt)))
+    np.testing.assert_allclose(b, a, rtol=1e-6)
