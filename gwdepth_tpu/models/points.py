@@ -190,7 +190,18 @@ class ConvLn(nn.Module):
     fuse_act: str | None = None
 
     @nn.compact
-    def __call__(self, x, residual=None):
+    def __call__(self, x, residual=None, frame_hw=None):
+        if self.fuse and frame_hw is not None:
+            # frame-chained link: x (and residual / the result) are
+            # `nhwc_to_frame` frames — consecutive fused convs skip the
+            # NHWC<->frame transposes (ops/fused_conv.py docstring)
+            assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
+            from gwdepth_tpu.ops.fused_conv import fused_conv_ln_act_frame
+            w = _ConvKernel((3, 3, x.shape[1], self.out), name="conv")()
+            g, b = _LnParams(self.out, name="ln")()
+            y = fused_conv_ln_act_frame(x, w, g, b, self.fuse_act,
+                                        tuple(frame_hw))
+            return y + residual if residual is not None else y
         if self.fuse:
             assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
             from gwdepth_tpu.ops.fused_conv import fused_conv_ln_act
@@ -227,11 +238,11 @@ class BasicBlock(nn.Module):
     fuse: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_hw=None):
         out = ConvLn(self.planes, dilation=self.dilation, fuse=self.fuse,
-                     fuse_act="gelu", name="conv1")(x)
+                     fuse_act="gelu", name="conv1")(x, frame_hw=frame_hw)
         return ConvLn(self.planes, dilation=self.dilation, fuse=self.fuse,
-                      name="conv2")(out, residual=x)
+                      name="conv2")(out, residual=x, frame_hw=frame_hw)
 
 
 def _avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -253,14 +264,33 @@ class PyramidLayer(nn.Module):
         # fuse conv+LN+GELU into one Pallas kernel only on the full-size
         # planes; the pooled SPP branches are too small to pay off
         fuse = self.use_pallas
-        x = ConvLn(self.in_dim, fuse=fuse, fuse_act="gelu",
-                   name="first0")(x)
-        x = ConvLn(d2, fuse=fuse, fuse_act="gelu", name="first1")(x)
-        x = BasicBlock(d2, fuse=fuse, name="layer1_0")(x)
-        x = BasicBlock(d2, fuse=fuse, name="layer2_0")(x)
-        x = BasicBlock(d2, fuse=fuse, name="layer2_1")(x)
-        x = BasicBlock(d2, fuse=fuse, name="layer3_0")(x)
-        x = BasicBlock(d2, fuse=fuse, name="layer3_1")(x)
+        if fuse:
+            # FRAME-CHAINED trunk: one NHWC->frame transpose in, one out;
+            # the 12 fused conv links in between exchange frames directly
+            # (saved ~0.15-0.2 ms/link of relayout, r5 device profile)
+            from gwdepth_tpu.ops.fused_conv import (frame_to_nhwc,
+                                                    nhwc_to_frame)
+            hw = (H, W)
+            xf = nhwc_to_frame(x)
+            xf = ConvLn(self.in_dim, fuse=True, fuse_act="gelu",
+                        name="first0")(xf, frame_hw=hw)
+            xf = ConvLn(d2, fuse=True, fuse_act="gelu",
+                        name="first1")(xf, frame_hw=hw)
+            xf = BasicBlock(d2, fuse=True, name="layer1_0")(xf, frame_hw=hw)
+            xf = BasicBlock(d2, fuse=True, name="layer2_0")(xf, frame_hw=hw)
+            xf = BasicBlock(d2, fuse=True, name="layer2_1")(xf, frame_hw=hw)
+            xf = BasicBlock(d2, fuse=True, name="layer3_0")(xf, frame_hw=hw)
+            xf = BasicBlock(d2, fuse=True, name="layer3_1")(xf, frame_hw=hw)
+            x = frame_to_nhwc(xf, hw)
+        else:
+            x = ConvLn(self.in_dim, fuse=False, fuse_act="gelu",
+                       name="first0")(x)
+            x = ConvLn(d2, fuse=False, fuse_act="gelu", name="first1")(x)
+            x = BasicBlock(d2, fuse=False, name="layer1_0")(x)
+            x = BasicBlock(d2, fuse=False, name="layer2_0")(x)
+            x = BasicBlock(d2, fuse=False, name="layer2_1")(x)
+            x = BasicBlock(d2, fuse=False, name="layer3_0")(x)
+            x = BasicBlock(d2, fuse=False, name="layer3_1")(x)
         # (reference builds a dilated layer4 it never calls — omitted)
 
         # pad so the largest pool fits (points_sample.py:94-104)

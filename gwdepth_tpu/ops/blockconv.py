@@ -130,17 +130,21 @@ def block_kernel_xcy(w: jnp.ndarray, s_out: int, u: int) -> jnp.ndarray:
     return K.reshape(3, 3, si * si * ci, s_out * s_out * co)
 
 
-@functools.lru_cache(maxsize=None)
-def _w_interleave(w: int, s: int, C: int):
+def _w_interleave(w: int, s: int, C: int) -> jnp.ndarray:
     """0/1 matrix P[(j, dj, c), (x2, c')] with x2 = j*s + dj, c' = c:
     contracting a (…, w, s, C) tensor against it interleaves the column
-    blocks (and carries channels along) in ONE MXU dot."""
-    P = np.zeros((w, s, C, w * s, C), np.float32)
-    j = np.arange(w)
-    for dj in range(s):
-        for c in range(C):
-            P[j, dj, c, j * s + dj, c] = 1.0
-    return P.reshape(w, s, C, w * s * C)
+    blocks (and carries channels along) in ONE MXU dot.
+
+    Built from IOTAS inside the traced graph, NOT as a baked numpy
+    literal: at 768x1024 the seg head's P is 16.8 MB, and serializing it
+    into the program blew the remote-TPU tunnel's upload limit
+    (remote_compile HTTP 413).  The iota build materializes the same
+    matrix on device for ~2 HBM passes (~40 us), zero program bytes."""
+    j = jnp.arange(w)[:, None, None, None]
+    dj = jnp.arange(s)[None, :, None, None]
+    c = jnp.arange(C)[None, None, :, None]
+    t = jnp.arange(w * s * C)[None, None, None, :]
+    return ((t // C == j * s + dj) & (t % C == c)).astype(jnp.float32)
 
 
 def depth_to_space_mm(y: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -158,7 +162,7 @@ def depth_to_space_mm(y: jnp.ndarray, s: int) -> jnp.ndarray:
     """
     B, h, w, C2 = y.shape
     C = C2 // (s * s)
-    P = jnp.asarray(_w_interleave(w, s, C))
+    P = _w_interleave(w, s, C)
     # contract (w, dj, c); di stays free and trails -> (B, h, di, x2*C)
     y = y.reshape(B, h, w, s, C, s)
     t = jax.lax.dot_general(

@@ -187,17 +187,45 @@ def _finish(y: jnp.ndarray, H: int, W: int):
     return jnp.transpose(y, (0, 2, 3, 1))
 
 
+# --------------------------------------------------------------------------
+# frame chaining: consecutive fused convs pass the channels-major padded
+# frame (B, C, (H+2)*(W+2)+2) between links instead of round-tripping
+# NHWC.  The r5 device profile charged ~0.15-0.2 ms of NHWC<->frame
+# transposes to EVERY fused conv in the 1/4 PyramidLayer (~2.2 ms/fwd
+# total); inside a chain the only inter-link work is a wide-granule
+# chunk-detranspose, a junk-column mask, and a lane pad — all
+# HBM-bandwidth ops XLA fuses.
+# --------------------------------------------------------------------------
+
+def nhwc_to_frame(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC -> canonical zero-bordered frame (alias of `_prepare`)."""
+    return _prepare(x)
+
+
+def frame_to_nhwc(xf: jnp.ndarray, hw) -> jnp.ndarray:
+    """Canonical frame (B, C, (H+2)*(W+2)+2) -> NHWC (B, H, W, C).
+    Exact inverse of `nhwc_to_frame` on its image (drops the zero
+    borders and junk lanes)."""
+    H, W = hw
+    B, C, _ = xf.shape
+    Wp = W + 2
+    y = xf[:, :, :(H + 2) * Wp].reshape(B, C, H + 2, Wp)
+    return jnp.transpose(y[:, :, 1:H + 1, 1:W + 1], (0, 2, 3, 1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("act", "fast", "k_chunk", "interpret", "out_dtype",
-                     "im2col"))
+                     "im2col", "frame_in", "frame_out", "hw"))
 def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
                    ln_scale: Optional[jnp.ndarray] = None,
                    ln_bias: Optional[jnp.ndarray] = None,
                    residual: Optional[jnp.ndarray] = None,
                    *, act: Optional[str] = None, fast: bool = True,
                    k_chunk: int = 256, interpret: bool = False,
-                   out_dtype=None, im2col: bool = False) -> jnp.ndarray:
+                   out_dtype=None, im2col: bool = False,
+                   frame_in: bool = False, frame_out: bool = False,
+                   hw=None) -> jnp.ndarray:
     """Fused y = act(LN(conv3x3(x))) [+ residual].
 
     x: (B, H, W, Cin) NHWC; w: (3, 3, Cin, Cout) HWIO (flax layout, no
@@ -207,12 +235,27 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     Cin is processed in `k_chunk` slabs (sequential grid accumulation),
     so arbitrarily wide inputs (the 800-channel SPP concat) never hold
     more than one slab in VMEM.
+
+    `frame_in` / `frame_out` chain consecutive fused convs in the
+    canonical frame layout (`nhwc_to_frame` format; `hw` carries the
+    static (H, W) a frame's shape cannot); residual must then be a
+    frame too.  Junk columns of a `frame_out` result are ZEROED so the
+    next link's taps read proper borders.
     """
-    B, H, W, Ci = x.shape
+    if frame_in:
+        H, W = hw
+        B, Ci, _ = x.shape
+    else:
+        B, H, W, Ci = x.shape
     Co = w.shape[3]
     Wp = W + 2
     Sout = H * Wp
-    CH = min(4096, -(-Sout // 128) * 128)   # lanes per in-kernel chunk
+    # lanes per in-kernel chunk.  At B > 1 the batch grid keeps extra
+    # per-batch buffers live (double buffering across b steps) and the
+    # bs=4 serving forward measured 848 KB over the 128 MB VMEM budget
+    # at CH=4096 — the narrower chunk frees ~5 MB (out block + slab +
+    # scratch all scale with CH) at ~1% more halo duplication.
+    CH = min(4096 if B == 1 else 3584, -(-Sout // 128) * 128)
     n_s = -(-Sout // CH)
     Sp = n_s * CH                           # lane-padded output frame
     CHs = -(-(CH + 2 * Wp + 2) // 128) * 128  # chunk + tap halo, padded
@@ -230,6 +273,18 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     # this governs the SPP merges and the backward dx convs.
     if Co * Sp * 4 > CO_SPLIT_BYTES:
         co_b = max(128, (CO_SPLIT_BYTES // (Sp * 4)) // 128 * 128)
+        # frames at a split site: fall back through NHWC (no active frame
+        # call site splits — the pyramid chain is Co<=320 = 32 MB)
+        if frame_in or frame_out:
+            xn = frame_to_nhwc(x, (H, W)) if frame_in else x
+            rn = (frame_to_nhwc(residual, (H, W))
+                  if frame_in and residual is not None else residual)
+            y = conv3x3_ln_act(xn, w, ln_scale, ln_bias, rn, act=act,
+                               fast=fast, k_chunk=k_chunk,
+                               interpret=interpret,
+                               out_dtype=jnp.float32, im2col=im2col)
+            return (nhwc_to_frame(y) if frame_out else y).astype(
+                out_dtype or jnp.float32)
         if co_b >= Co:
             # even a single kernel-sized Co piece exceeds the VMEM budget
             # (Sp too large) — splitting cannot shrink it, and recursing
@@ -256,14 +311,17 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
     n_k = -(-Ci // kc)
     Cip = n_k * kc
     if Cip != Ci:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cip - Ci)))
+        if frame_in:
+            x = jnp.pad(x, ((0, 0), (0, Cip - Ci), (0, 0)))
+        else:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Cip - Ci)))
         w = jnp.pad(w, ((0, 0), (0, 0), (0, Cip - Ci), (0, 0)))
 
     # fast mode stores the padded slab and weights in bf16: the kernel
     # multiplies in bf16 anyway, and halving the double-buffered input
     # slab keeps the 1/4-scale 192x256x160 plane under the VMEM budget
     tap_dt = jnp.bfloat16 if fast else jnp.float32
-    xs = _prepare(x)
+    xs = x.astype(jnp.float32) if frame_in else _prepare(x)
     xs = jnp.pad(xs, ((0, 0), (0, 0), (0, S2p - xs.shape[-1])))
     xs = xs.astype(tap_dt).reshape(B, n_k, kc, S2p)
     # overlapping chunk-major slab: chunk i = lanes [i*CH, i*CH + CHs)
@@ -303,7 +361,8 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
         args += [ln_scale.astype(jnp.float32).reshape(Co, 1),
                  ln_bias.astype(jnp.float32).reshape(Co, 1)]
     if residual is not None:
-        rt = _prepare(residual)                       # (B, Co, S2)
+        rt = (residual.astype(jnp.float32) if frame_in
+              else _prepare(residual))                # (B, Co, S2)
         rt = jax.lax.dynamic_slice_in_dim(rt, Wp + 1, Sout, axis=2)
         rt = jnp.pad(rt, ((0, 0), (0, 0), (0, Sp - Sout)))
         rt = rt.reshape(B, Co, n_s, CH).transpose(0, 2, 1, 3)
@@ -326,10 +385,21 @@ def conv3x3_ln_act(x: jnp.ndarray, w: jnp.ndarray,
         scratch_shapes=([pltpu.VMEM((9 * kc, CH), tap_dt)]
                         if use_im2col else []),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            # 126 MB of the chip's 128: the bs=4 serving forward's
+            # pyramid convs measure 120.3 MB scoped at CH=3584 (the
+            # B>1 grid double-buffers the next batch row's slab)
+            vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     y = y.transpose(0, 2, 1, 3).reshape(B, Co, Sp)
+    if frame_out:
+        # junk columns (row-crossing taps) MUST zero before re-framing:
+        # the next link's taps read them as border values
+        mask = (jnp.arange(Sout) % Wp) < W
+        yf = jnp.where(mask, y[:, :, :Sout], 0.0)
+        F = (H + 2) * Wp + 2
+        yf = jnp.pad(yf, ((0, 0), (0, 0), (Wp + 1, F - (Wp + 1) - Sout)))
+        return yf.astype(out_dtype or jnp.float32)
     out = _finish(y[:, :, :Sout], H, W)
     return out.astype(out_dtype or x.dtype)
 
@@ -420,6 +490,38 @@ def _fused_bwd(act, res, ct):
 
 
 fused_conv_ln_act.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_conv_ln_act_frame(xf, w, ln_scale, ln_bias, act, hw):
+    """`fused_conv_ln_act` over the canonical frame layout: xf and the
+    result are `nhwc_to_frame` frames, so chained links skip the
+    NHWC<->frame transposes entirely (the r5 profile charged
+    ~0.15-0.2 ms of them to every fused conv in the 1/4 pyramid).
+    The VJP routes through the NHWC machinery: extraction/embedding are
+    exact 0/1-orthogonal linear maps, so
+    d xf = embed(d x_nhwc) and ct_nhwc = extract(ct_frame) — correct by
+    construction, reusing `_fused_bwd` unchanged."""
+    interp = jax.default_backend() != "tpu"
+    return conv3x3_ln_act(xf, w, ln_scale, ln_bias, act=act, fast=True,
+                          interpret=interp, im2col=IM2COL_DEFAULT,
+                          frame_in=True, frame_out=True, hw=hw)
+
+
+def _frame_fwd(xf, w, ln_scale, ln_bias, act, hw):
+    return fused_conv_ln_act_frame(xf, w, ln_scale, ln_bias, act, hw), \
+        (xf, w, ln_scale, ln_bias)
+
+
+def _frame_bwd(act, hw, res, ct):
+    xf, w, g, b = res
+    x = frame_to_nhwc(xf, hw)
+    ct_n = frame_to_nhwc(ct, hw)
+    dx, dw, dg, db = _fused_bwd(act, (x, w, g, b), ct_n)
+    return nhwc_to_frame(dx).astype(xf.dtype), dw, dg, db
+
+
+fused_conv_ln_act_frame.defvjp(_frame_fwd, _frame_bwd)
 
 
 def conv3x3_tapdots(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

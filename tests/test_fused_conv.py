@@ -197,3 +197,40 @@ def test_diffusion_custom_vjp_grad_matches_xla():
     for p, x in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(p), np.asarray(x),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_frame_chain_matches_nhwc_path():
+    """fused_conv_ln_act_frame == fused_conv_ln_act through frames, in
+    values AND grads (the frame VJP routes through the NHWC machinery
+    via exact 0/1 extraction/embedding)."""
+    from gwdepth_tpu.ops.fused_conv import (
+        frame_to_nhwc, fused_conv_ln_act, fused_conv_ln_act_frame,
+        nhwc_to_frame)
+    rng = np.random.default_rng(11)
+    B, H, W, Ci, Co = 2, 9, 13, 8, 8
+    x = jnp.asarray(rng.normal(size=(B, H, W, Ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, Ci, Co)).astype(np.float32)) * 0.2
+    g = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
+
+    def f_nhwc(x, w, g, b):
+        return jnp.sum(fused_conv_ln_act(x, w, g, b, "gelu") ** 2)
+
+    def f_frame(x, w, g, b):
+        yf = fused_conv_ln_act_frame(nhwc_to_frame(x), w, g, b, "gelu",
+                                     (H, W))
+        return jnp.sum(frame_to_nhwc(yf, (H, W)) ** 2)
+
+    va, ga = jax.value_and_grad(f_nhwc, argnums=(0, 1, 2, 3))(x, w, g, b)
+    vb, gb = jax.value_and_grad(f_frame, argnums=(0, 1, 2, 3))(x, w, g, b)
+    np.testing.assert_allclose(float(vb), float(va), rtol=2e-5)
+    for a_, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                   rtol=2e-4, atol=2e-5)
+    # chained round trip: two links, frame in between
+    y1 = fused_conv_ln_act_frame(nhwc_to_frame(x), w, g, b, "gelu", (H, W))
+    y2 = fused_conv_ln_act_frame(y1, w, g, b, None, (H, W))
+    ref = fused_conv_ln_act(
+        fused_conv_ln_act(x, w, g, b, "gelu"), w, g, b, None)
+    np.testing.assert_allclose(np.asarray(frame_to_nhwc(y2, (H, W))),
+                               np.asarray(ref), rtol=2e-5, atol=2e-6)
