@@ -69,8 +69,12 @@ PEAK_FLOPS = 197e12  # TPU v5e bf16 peak
 # bench.py recomputes the CPU figure fresh in a subprocess, reports it,
 # and REFUSES to emit an MFU from the stale TPU pin (VERDICT r2 weak #4:
 # a silently stale denominator is worse than none).
-EVAL_FWD_FLOPS_TPU = 1.241e12  # measured 2026-08-17, TPU backend
-EVAL_FWD_FLOPS_CPU = 1.643e12  # measured 2026-08-18, CPU backend, same graph
+EVAL_FWD_FLOPS_TPU = 1.136e12  # measured 2026-08-21, TPU backend
+EVAL_FWD_FLOPS_CPU = 1.128e12  # measured 2026-08-21, CPU backend, same graph
+# (re-pinned in r5: the r3 decoder-tail change — s2d(4) -> two s2d(2)
+# stages — cut ~9% of the graph's MACs AFTER the 08-17 pin; the arch
+# hash gates on CONFIG fields and cannot see graph-level rewrites, so
+# re-measure these after any deliberate op-level restructuring)
 
 # sha256 over the architecture-determining config fields of the exact
 # cfg bench_eval_fwd constructs (see _arch_fingerprint).  Recorded
