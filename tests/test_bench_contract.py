@@ -52,3 +52,23 @@ def test_resolve_uses_pin_on_match(monkeypatch):
     flops, extra = bench.resolve_eval_flops()
     assert flops == bench.EVAL_FWD_FLOPS_TPU
     assert extra == {}
+
+
+def test_tunnel_health_fields(monkeypatch):
+    """VERDICT r4 #4: a wedge-tainted headline must be self-identifying —
+    _wait_for_tunnel returns probe count/latency, and flags degradation
+    whenever recovery probes were needed."""
+    monkeypatch.setattr(bench, "_probe_tunnel", lambda timeout_s=120.0: True)
+    h = bench._wait_for_tunnel(budget_minutes=0.01)
+    assert h["tunnel_probes"] == 1 and "tunnel_probe_secs" in h
+    assert "tunnel_degraded" not in h
+
+    calls = iter([False, True])
+    monkeypatch.setattr(bench, "_probe_tunnel",
+                        lambda timeout_s=120.0: next(calls))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    h = bench._wait_for_tunnel(budget_minutes=1.0)
+    assert h["tunnel_probes"] == 2 and h["tunnel_degraded"] is True
+
+    monkeypatch.setattr(bench, "_probe_tunnel", lambda timeout_s=120.0: False)
+    assert bench._wait_for_tunnel(budget_minutes=0.0) is None
